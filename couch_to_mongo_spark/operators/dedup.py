@@ -1,0 +1,106 @@
+"""Last-writer-wins dedup — the engine's correctness kernel (SURVEY.md §2.5 A4).
+
+The reference coalesces many changes to one doc within a poll into one id
+(Set) and re-fetches the winning revision — last-writer-wins per key per
+batch (reference: ChangeFeedClient.java:136-150, 104-113). Our rendering:
+one row per ``(conv_id, turn_idx)`` ordered by ``(seq, rev generation,
+rev hash)`` descending.
+
+Three implementations, all deterministic and equivalent:
+
+- :func:`lww_dedup` — ``max_by(struct(payload), struct(order))`` hash
+  aggregation. **The default.** Spark's hash aggregate does map-side
+  partial aggregation, so a hot conversation (millions of updates to one
+  key) is combined per input partition *before* the shuffle — skew is
+  defused for free, O(distinct keys) shuffle volume.
+- :func:`salted_lww` — explicit two-phase salted aggregation (north_rule's
+  "salted-hash repartition on conv_id"): phase 1 reduces per
+  ``(key, salt)``, phase 2 per key. Same result; the explicit form for
+  when partial aggregation is disabled or the reducer isn't algebraic.
+- :func:`lww_dedup_window` — ``row_number() over (partition by key order
+  by ...desc) = 1``. Readable, but shuffles every duplicate row to one
+  partition per key — kept for small-data parity tests and as the oracle
+  shape (DuckDB window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_rev_gen(df: DataFrame, rev_col: str = "_rev", out_col: str = "rev_gen") -> DataFrame:
+    """Parse CouchDB-style ``N-hash`` revision into its integer generation.
+
+    Reference delegates conflict resolution to CouchDB and reads the winner
+    (SURVEY.md §2.9 C4); we make the ordering explicit: generation then hash.
+    """
+    return df.withColumn(
+        out_col,
+        F.coalesce(F.split(F.col(rev_col), "-").getItem(0).cast("long"), F.lit(0)),
+    )
+
+
+def _order_struct(order_cols: list[str]):
+    return F.struct(*[F.col(c) for c in order_cols])
+
+
+def lww_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """One row per key: the row with the max ``order_cols`` tuple.
+
+    ``max_by(struct(<all cols>), struct(<order cols>))`` — structs compare
+    lexicographically field-by-field, so the ordering is total as long as
+    ``order_cols`` ends in a tiebreaker (we use seq, rev_gen, _rev; seq is
+    globally unique so ties cannot occur in practice).
+    """
+    payload = [c for c in df.columns]
+    agg = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*payload).alias("_p"), _order_struct(order_cols)).alias("_w")
+    )
+    return agg.select(*[F.col(f"_w.{c}").alias(c) for c in payload])
+
+
+def salted_lww(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    n_salts: int = 32,
+    salt_col: str = "seq",
+) -> DataFrame:
+    """Explicit two-phase salted LWW reduction.
+
+    Phase 1: repartition on ``(key, salt)`` with ``salt = pmod(xxhash64(
+    salt_col), n_salts)`` and reduce; phase 2: reduce the ≤n_salts
+    survivors per key. Bounds any single reducer's input at
+    ``rows(key)/n_salts`` — the explicit skew defense the north_rule names.
+    """
+    payload = [c for c in df.columns]
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
+    phase1 = (
+        salted.repartition(*[F.col(c) for c in key_cols], F.col("_salt"))
+        .groupBy(*key_cols, "_salt")
+        .agg(F.max_by(F.struct(*payload), _order_struct(order_cols)).alias("_w"))
+        .select(*key_cols, "_w")
+    )
+    phase2 = phase1.groupBy(*key_cols).agg(
+        F.max_by(F.col("_w"), F.struct(*[F.col(f"_w.{c}") for c in order_cols])).alias("_w")
+    )
+    return phase2.select(*[F.col(f"_w.{c}").alias(c) for c in payload])
+
+
+def lww_dedup_window(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Window-based LWW: row_number()==1 per key under descending order."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

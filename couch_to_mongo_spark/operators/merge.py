@@ -1,0 +1,224 @@
+"""MERGE INTO as bucket-scoped copy-on-write (SURVEY.md §2.1 S6, §2.6 JN3).
+
+Semantics of the reference's upsert sink — unordered bulkWrite of
+``UpdateOneModel({_id}, {$set: doc}, upsert=true)`` (reference:
+Mongo.java:115-187) — generalized to the composite key ``(conv_id,
+turn_idx)`` and extended with deletes (which the reference silently drops,
+SURVEY.md §2.10):
+
+    MERGE INTO target t USING batch s
+    ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+    WHEN MATCHED AND s.op = 'd' THEN DELETE
+    WHEN MATCHED AND (s._seq, s.rev) > (t._seq, t.rev) THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *
+
+Physical plan (no Iceberg/Delta jars in this image, so copy-on-write from
+scratch), chosen to be **order-insensitive**: the table stores the winning
+``(_seq, _rev)`` per key plus tombstones (``_deleted``), so MERGE is just
+
+    winners = LWW( existing(touched buckets) ∪ batch )
+
+— one hash aggregation with map-side partial combine (skew-safe), no
+anti-join, no conditional update logic. Replaying any batch, in any order,
+reconverges to the same state; deletes are durable tombstones (purged by
+compaction), fixing the reference's delete-resurrection gap.
+
+Steps:
+1. batch is LWW-deduped to one row per key (dedup-before-merge bounds any
+   hot-conversation skew: at most one row per key reaches the rewrite);
+2. touched buckets = distinct ``pmod(xxhash64(conv_id), n_buckets)`` of
+   the batch — only those buckets are read and rewritten, O(changed) I/O;
+3. ``existing ∪ batch`` → ``max_by(row, (_seq, rev_gen, _rev, _src))``
+   per key; tombstone rows kept (flagged), schema evolved by union;
+4. winners written per-bucket; snapshot committed atomically with lineage
+   and the (run_id, batch_id) fence entry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from couch_to_mongo_spark.operators.dedup import lww_dedup, with_rev_gen
+from couch_to_mongo_spark.operators.schema_evolution import align_to_schema, evolve_schema
+from couch_to_mongo_spark.tableformat import BUCKET_COL, LakeTable, bucket_expr
+
+# engine-managed columns stored in the table alongside the payload
+SEQ_COL = "_seq"
+REV_COL = "_rev"
+DELETED_COL = "_deleted"
+ENGINE_COLS = (SEQ_COL, REV_COL, DELETED_COL)
+# transient columns never persisted
+TRANSIENT_COLS = ("op", "seq", "rev_gen", "_src", "_salt", BUCKET_COL)
+
+
+def engine_fields() -> list[T.StructField]:
+    return [
+        T.StructField(SEQ_COL, T.LongType(), True),
+        T.StructField(REV_COL, T.StringType(), True),
+        T.StructField(DELETED_COL, T.BooleanType(), True),
+    ]
+
+
+def with_engine_schema(payload: T.StructType) -> T.StructType:
+    """Payload schema + engine columns — the physical table schema."""
+    return T.StructType(list(payload.fields) + engine_fields())
+
+
+@dataclass
+class MergeResult:
+    skipped: bool
+    snapshot_id: int | None = None
+    n_inserts: int = 0
+    n_updates: int = 0
+    n_deletes: int = 0
+    rows_applied: int = 0
+    seq_min: int | None = None
+    seq_max: int | None = None
+    touched_buckets: int = 0
+
+    def to_lineage(self) -> dict[str, Any]:
+        return asdict(self)
+
+
+def merge_batch(
+    table: LakeTable,
+    batch_df: DataFrame,
+    run_id: str,
+    batch_id: int,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    op_col: str = "op",
+    seq_col: str = "seq",
+    rev_col: str = "_rev",
+    already_deduped: bool = False,
+    files_per_bucket: int = 1,
+    collect_stats: bool = True,
+) -> MergeResult:
+    """Apply one change batch to the table, exactly-once under replay.
+
+    ``batch_df`` columns: key_cols + op + seq + _rev + payload columns.
+    """
+    if table.is_batch_committed(run_id, batch_id):
+        return MergeResult(skipped=True)
+
+    snap = table.snapshot()
+    n_buckets = snap.n_buckets
+    key_cols = list(key_cols)
+
+    # --- normalize batch to engine shape: _seq/_rev/_deleted + payload ---
+    b = batch_df
+    if rev_col not in b.columns:
+        b = b.withColumn(rev_col, F.lit(None).cast("string"))
+    b = with_rev_gen(b, rev_col=rev_col)
+    order_in_batch = [seq_col, "rev_gen", rev_col]
+    raw_range = None
+    if collect_stats and not already_deduped:
+        # lineage records the *source* seq range (pre-dedup), the analogue of
+        # the reference's per-doc sequence-number audit (Mongo.java:535)
+        raw_range = batch_df.agg(
+            F.min(seq_col).alias("mn"), F.max(seq_col).alias("mx")
+        ).collect()[0]
+    if not already_deduped:
+        b = lww_dedup(b, key_cols, order_in_batch)
+    b = (
+        b.withColumn(DELETED_COL, F.col(op_col) == F.lit("d"))
+        .withColumnRenamed(seq_col, SEQ_COL)
+    )
+    if rev_col != REV_COL:
+        b = b.withColumnRenamed(rev_col, REV_COL)
+    b = b.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets)).persist()
+
+    try:
+        touched = [r[0] for r in b.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            new_snap = table.commit(
+                {}, [], MergeResult(skipped=False).to_lineage(), run_id=run_id, batch_id=batch_id
+            )
+            return MergeResult(skipped=False, snapshot_id=new_snap.snapshot_id)
+
+        payload_fields = [
+            f
+            for f in b.schema.fields
+            if f.name not in TRANSIENT_COLS and f.name not in ENGINE_COLS
+        ]
+        evolved = evolve_schema(snap.schema, with_engine_schema(T.StructType(payload_fields)))
+
+        existing = table.read_buckets(touched)
+
+        stats_row = None
+        if collect_stats:
+            # one-pass classification of batch rows against existing live keys
+            ex_keys = (
+                existing.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+                .select(*key_cols)
+                .withColumn("_m", F.lit(1))
+            )
+            cls = b.select(*key_cols, DELETED_COL, SEQ_COL).join(ex_keys, key_cols, "left")
+            is_del = F.col(DELETED_COL)
+            matched = F.col("_m").isNotNull()
+            stats_row = cls.agg(
+                F.min(SEQ_COL).alias("seq_min"),
+                F.max(SEQ_COL).alias("seq_max"),
+                F.count(F.when(~is_del & ~matched, 1)).alias("n_inserts"),
+                F.count(F.when(~is_del & matched, 1)).alias("n_updates"),
+                F.count(F.when(is_del & matched, 1)).alias("n_deletes"),
+            ).collect()[0]
+
+        # --- union + LWW: existing rows vs batch rows, batch wins ties ---
+        ex = align_to_schema(existing, evolved).withColumn("_src", F.lit(0))
+        ba = align_to_schema(b, evolved).withColumn("_src", F.lit(1))
+        combined = ex.unionByName(ba)
+        combined = with_rev_gen(combined, rev_col=REV_COL)
+        winners = lww_dedup(combined, key_cols, [SEQ_COL, "rev_gen", REV_COL, "_src"])
+        new_rows = winners.drop("rev_gen", "_src")
+        new_rows = new_rows.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets))
+
+        n_parts = max(len(touched), 1) * max(files_per_bucket, 1)
+        if files_per_bucket > 1:
+            new_rows = new_rows.repartition(
+                n_parts,
+                F.col(BUCKET_COL),
+                F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(files_per_bucket)),
+            )
+        else:
+            new_rows = new_rows.repartition(n_parts, F.col(BUCKET_COL))
+
+        new_files = table.write_bucketed(
+            new_rows, snapshot_hint=f"s{snap.version + 1:08d}", n_buckets=n_buckets
+        )
+
+        result = MergeResult(skipped=False, touched_buckets=len(touched))
+        if stats_row is not None:
+            result.n_inserts = stats_row["n_inserts"]
+            result.n_updates = stats_row["n_updates"]
+            result.n_deletes = stats_row["n_deletes"]
+            result.rows_applied = (
+                stats_row["n_inserts"] + stats_row["n_updates"] + stats_row["n_deletes"]
+            )
+            result.seq_min = raw_range["mn"] if raw_range is not None else stats_row["seq_min"]
+            result.seq_max = raw_range["mx"] if raw_range is not None else stats_row["seq_max"]
+        new_snap = table.commit(
+            new_files,
+            touched,
+            result.to_lineage(),
+            new_schema=evolved,
+            run_id=run_id,
+            batch_id=batch_id,
+        )
+        result.snapshot_id = new_snap.snapshot_id
+        return result
+    finally:
+        b.unpersist()
+
+
+def read_state(table: LakeTable, version: int | None = None) -> DataFrame:
+    """The logical (public) table state: live rows, payload columns only,
+    in stable (conv_id, turn_idx) order-ready shape."""
+    df = table.read(version)
+    if DELETED_COL in df.columns:
+        df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+    return df.drop(*[c for c in ENGINE_COLS if c in df.columns])

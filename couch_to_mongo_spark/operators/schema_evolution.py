@@ -1,0 +1,59 @@
+"""Schema evolution as column addition (SURVEY.md §1.2, FIXTURES.md §3).
+
+The reference tolerates heterogeneous docs (4 of 5 carry Header/Analytics;
+missing nested fields read as "" — reference: Mongo.java:402-405). The
+Spark-native formalization: the table schema is the union of everything
+seen; old rows null-fill new columns; batches are aligned by projection
+before MERGE. Pure Column expressions — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def evolve_schema(table_schema: T.StructType, batch_schema: T.StructType) -> T.StructType:
+    """Union of table schema and batch schema; new columns appended nullable.
+
+    Existing columns keep the table's type (no type mutation — a type
+    conflict raises, mirroring Iceberg's safe-evolution rules).
+    """
+    fields = list(table_schema.fields)
+    names = {f.name for f in fields}
+    for bf in batch_schema.fields:
+        if bf.name in names:
+            tf = next(f for f in fields if f.name == bf.name)
+            if tf.dataType != bf.dataType and not _promotable(bf.dataType, tf.dataType):
+                raise TypeError(
+                    f"incompatible evolution for column {bf.name}: "
+                    f"{tf.dataType.simpleString()} vs {bf.dataType.simpleString()}"
+                )
+        else:
+            fields.append(T.StructField(bf.name, bf.dataType, True))
+    return T.StructType(fields)
+
+
+def _promotable(src: T.DataType, dst: T.DataType) -> bool:
+    widening = {
+        (T.IntegerType(), T.LongType()),
+        (T.FloatType(), T.DoubleType()),
+        (T.IntegerType(), T.DoubleType()),
+        (T.LongType(), T.DoubleType()),
+        (T.TimestampNTZType(), T.TimestampType()),
+    }
+    return (src, dst) in widening
+
+
+def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project df to exactly `schema`: missing columns null-filled, present
+    columns cast to the target type, column order normalized."""
+    cols = []
+    present = set(df.columns)
+    for f in schema.fields:
+        if f.name in present:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -1,0 +1,298 @@
+"""Mini lakehouse table format: parquet data files + atomic JSON snapshot log.
+
+The reference persists its resumability state (session lifecycle, per-batch
+lineage, last change-feed seq) in a `migration.metadata` collection in the
+sink (reference: src/main/java/demo/Mongo.java:311-356, 524-593) and detects
+unfinished sessions by aggregating it (Mongo.java:422-466). Our Spark-native
+analogue is an Iceberg-style table:
+
+- data files are parquet, laid out in hash buckets on the merge key
+  (``bucket = pmod(xxhash64(conv_id), n_buckets)``) so a micro-batch MERGE
+  rewrites only the touched buckets — O(changed), not O(table);
+- a ``_snapshots/v{N}.json`` log lists the live files per bucket, the table
+  schema, per-commit lineage, and the cumulative map of committed
+  ``run_id:batch_id`` → snapshot — committed atomically via O_CREAT|O_EXCL
+  (Iceberg's optimistic-commit model in miniature, since no Iceberg jars
+  ship in this image);
+- replaying an already-committed batch is a no-op (**fencing**) — the Spark
+  rendering of the reference's "skip already-migrated ids"
+  (Mongo.java:93-102) and unfinished-session resume (Mongo.java:422-466),
+  but O(1) in driver memory instead of O(sink ids).
+
+At 100 TB the same design holds: n_buckets scales to O(10^4-10^5), the
+snapshot JSON stays small (file lists per bucket, not per row), and commit
+contention is a single atomic create per micro-batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SNAP_RE = re.compile(r"^v(\d{8})\.json$")
+BUCKET_COL = "_bucket"
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Deterministic hash bucket for a key column.
+
+    Spark-native analogue of the reference's equal-count key ranges
+    (Couch.java:106-140): hash buckets need no histogram walk and are
+    immune to lexicographic hot ranges.
+    """
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    version: int
+    snapshot_id: int
+    parent: int | None
+    schema_json: dict
+    n_buckets: int
+    files: dict[str, list[str]]  # bucket (str) -> relative file paths
+    lineage: dict[str, Any] = field(default_factory=dict)
+    committed_batches: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.schema_json)
+
+    def all_files(self) -> list[str]:
+        return [f for fl in self.files.values() for f in fl]
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "snapshot_id": self.snapshot_id,
+            "parent": self.parent,
+            "schema": self.schema_json,
+            "n_buckets": self.n_buckets,
+            "files": self.files,
+            "lineage": self.lineage,
+            "committed_batches": self.committed_batches,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Snapshot":
+        return cls(
+            version=d["version"],
+            snapshot_id=d["snapshot_id"],
+            parent=d.get("parent"),
+            schema_json=d["schema"],
+            n_buckets=d["n_buckets"],
+            files=d["files"],
+            lineage=d.get("lineage", {}),
+            committed_batches=d.get("committed_batches", {}),
+        )
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same version first (optimistic commit)."""
+
+
+class LakeTable:
+    """A bucketed copy-on-write table with an atomic snapshot log."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.snap_dir = os.path.join(self.path, "_snapshots")
+        self.data_dir = os.path.join(self.path, "data")
+
+    # ---------------- lifecycle ----------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        tbl = cls(spark, path)
+        os.makedirs(tbl.snap_dir, exist_ok=True)
+        os.makedirs(tbl.data_dir, exist_ok=True)
+        if tbl.latest_version() is None:
+            snap = Snapshot(
+                version=0,
+                snapshot_id=0,
+                parent=None,
+                schema_json=json.loads(schema.json()),
+                n_buckets=n_buckets,
+                files={},
+                lineage={"op": "create"},
+            )
+            tbl._write_snapshot(snap)
+        return tbl
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    # ---------------- snapshot log ----------------
+
+    def latest_version(self) -> int | None:
+        if not os.path.isdir(self.snap_dir):
+            return None
+        versions = [
+            int(m.group(1))
+            for f in os.listdir(self.snap_dir)
+            if (m := _SNAP_RE.match(f))
+        ]
+        return max(versions) if versions else None
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no snapshots in {self.snap_dir}")
+        p = os.path.join(self.snap_dir, f"v{version:08d}.json")
+        with open(p) as fh:
+            return Snapshot.from_json(json.load(fh))
+
+    def history(self) -> list[Snapshot]:
+        last = self.latest_version()
+        if last is None:
+            return []
+        return [self.snapshot(v) for v in range(last + 1)]
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        """Atomic publish: O_CREAT|O_EXCL then write+fsync via temp+link.
+
+        Write the payload to a temp file first, then `os.link` it to the
+        final name — link(2) fails with EEXIST if a concurrent writer won,
+        which is exactly Iceberg's optimistic-concurrency commit.
+        """
+        final = os.path.join(self.snap_dir, f"v{snap.version:08d}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(snap.to_json(), fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {snap.version} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    # ---------------- fencing ----------------
+
+    @staticmethod
+    def batch_key(run_id: str, batch_id: int) -> str:
+        return f"{run_id}:{batch_id}"
+
+    def is_batch_committed(self, run_id: str, batch_id: int) -> bool:
+        """True iff this (run_id, batch_id) already has a committed snapshot.
+
+        The foreachBatch exactly-once fence: Structured Streaming may replay
+        a batch after a crash between sink-write and offset-commit; the
+        fence makes the replay a no-op. (Reference analogue: unfinished-
+        session detection + id-skip, Mongo.java:422-466 / 93-102.)
+        """
+        if not self.exists():
+            return False
+        return self.batch_key(run_id, batch_id) in self.snapshot().committed_batches
+
+    # ---------------- read ----------------
+
+    def read(self, version: int | None = None, with_bucket: bool = False) -> DataFrame:
+        snap = self.snapshot(version)
+        files = [os.path.join(self.path, f) for f in snap.all_files()]
+        if not files:
+            df = self.spark.createDataFrame([], snap.schema)
+        else:
+            # Explicit schema => missing (later-evolved) columns read as null,
+            # the Spark-native analogue of the reference tolerating docs
+            # with/without Header/Analytics (SURVEY.md §1.2).
+            df = self.spark.read.schema(snap.schema).parquet(*files)
+        if with_bucket:
+            key = snap.lineage.get("bucket_key") or self.bucket_key()
+            df = df.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
+        return df
+
+    def read_buckets(self, buckets: list[int], version: int | None = None) -> DataFrame:
+        """Read only the given buckets — the partition-pruned side of MERGE."""
+        snap = self.snapshot(version)
+        files = [
+            os.path.join(self.path, f)
+            for b in buckets
+            for f in snap.files.get(str(b), [])
+        ]
+        if not files:
+            return self.spark.createDataFrame([], snap.schema)
+        return self.spark.read.schema(snap.schema).parquet(*files)
+
+    def bucket_key(self) -> str:
+        return "conv_id"
+
+    # ---------------- write / commit ----------------
+
+    def commit(
+        self,
+        new_files: dict[int, list[str]],
+        touched_buckets: list[int],
+        lineage: dict[str, Any],
+        new_schema: T.StructType | None = None,
+        run_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> Snapshot:
+        """Publish a new snapshot: touched buckets get `new_files`, all other
+        buckets carry their previous file lists forward unchanged."""
+        prev = self.snapshot()
+        files = {b: fl for b, fl in prev.files.items() if int(b) not in set(touched_buckets)}
+        for b, fl in new_files.items():
+            if fl:
+                files[str(b)] = fl
+        committed = dict(prev.committed_batches)
+        if run_id is not None and batch_id is not None:
+            committed[self.batch_key(run_id, batch_id)] = prev.snapshot_id + 1
+        snap = Snapshot(
+            version=prev.version + 1,
+            snapshot_id=prev.snapshot_id + 1,
+            parent=prev.version,
+            schema_json=json.loads(new_schema.json()) if new_schema is not None else prev.schema_json,
+            n_buckets=prev.n_buckets,
+            files=files,
+            lineage=lineage,
+            committed_batches=committed,
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    def write_bucketed(
+        self, df: DataFrame, snapshot_hint: str, n_buckets: int, bucket_col: str = BUCKET_COL
+    ) -> dict[int, list[str]]:
+        """Write df as per-bucket parquet under data/<snapshot_hint>/ and
+        return {bucket: [relative paths]}.
+
+        Uses partitionBy(bucket) so each Spark task streams into its bucket
+        directory — one shuffle (the repartition upstream), parallel write.
+        """
+        out = os.path.join(self.data_dir, snapshot_hint)
+        (df.write.mode("errorifexists").partitionBy(bucket_col).parquet(out))
+        # Rename `_bucket=N` -> `bN` so later multi-file reads never trigger
+        # Spark's partition-column inference (which would append _bucket to
+        # the schema and poison schema-equality checks).
+        result: dict[int, list[str]] = {}
+        for entry in os.listdir(out):
+            if not entry.startswith(f"{bucket_col}="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            bdir = os.path.join(out, f"b{b}")
+            os.rename(os.path.join(out, entry), bdir)
+            rels = [
+                os.path.relpath(os.path.join(bdir, f), self.path)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            ]
+            result[b] = sorted(rels)
+        return result
