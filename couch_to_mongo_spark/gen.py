@@ -101,14 +101,11 @@ def make_changes_df(
     df.loc[is_del, "ts"] = pd.NaT
 
     if evolve_at is not None:
-        post = df["seq"] >= evolve_at
-        df["metadata"] = np.where(
-            post & ~is_del, np.char.add("m-", df["seq"].astype(str)), None
+        post = (df["seq"] >= evolve_at) & ~is_del
+        df["metadata"] = ("m-" + df["seq"].astype(str)).where(post, None)
+        df["tool_args"] = pd.Series('{"q": "x"}', index=df.index).where(
+            post & (role == "tool"), None
         )
-        df["tool_args"] = np.where(
-            post & ~is_del & (role == "tool"), '{"q": "x"}', None
-        )
-        df.loc[~post, ["metadata", "tool_args"]] = None
 
     cols = ["seq", "op", "conv_id", "turn_idx", "_rev", "role", "text", "tool", "ts"]
     if evolve_at is not None:
@@ -121,6 +118,7 @@ def write_change_files(
     df: pd.DataFrame,
     n_files: int = 10,
     evolve_at: int | None = None,
+    start_index: int = 0,
 ) -> list[str]:
     """Write the feed as numbered seq-ordered parquet files (the streaming
     file-source input). Pre-evolution files omit the evolved columns
@@ -138,13 +136,13 @@ def write_change_files(
             continue
         if evolve_at is not None and part["seq"].iloc[-1] < evolve_at:
             part = part.drop(columns=["metadata", "tool_args"], errors="ignore")
-        p = os.path.join(out_dir, f"changes-{i:05d}.parquet")
+        p = os.path.join(out_dir, f"changes-{start_index + i:05d}.parquet")
         # microsecond timestamps: Spark cannot read TIMESTAMP(NANOS) parquet
         part.to_parquet(
             p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
         )
         # monotone mtimes so file-source pickup order == seq order
-        t = 1700000000 + i
+        t = 1700000000 + start_index + i
         os.utime(p, (t, t))
         paths.append(p)
     return paths

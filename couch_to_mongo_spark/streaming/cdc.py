@@ -1,0 +1,202 @@
+"""The CDC tail: Structured Streaming + foreachBatch exactly-once apply.
+
+Reference lifecycle (SURVEY.md §3.2): poll `_changes` since=<seq> every
+5 s → coalesce changed ids per poll → re-fetch winning revs → bulk upsert
+→ persist last seq (reference: ChangeFeedClient.java:50-155). Spark
+rendering:
+
+    readStream(changes dir)                       # S4 source
+      -> foreachBatch(batch_id, df):
+           fence(run_id, batch_id)                # exactly-once replay guard
+           drift-check(df.inputFiles())           # schema evolution
+           normalize text (Arrow pandas_udf)      # C7
+           LWW dedup + MERGE INTO table           # A4 + S6 (merge_batch)
+           lineage.append(...)                    # S7
+
+Resume = restart with the same checkpointLocation: Spark's offset log
+replays the uncommitted batch, the fence skips committed ones — the
+reference's session-resume (Mongo.java:422-466) with zero driver-side
+state. ``run_id`` is pinned to the checkpoint directory (created once) so
+fencing keys survive restarts.
+
+Schema evolution mid-stream follows the lake-standard restart-on-drift
+model: the stream runs with the currently-known feed schema; when a batch's
+input files carry unseen columns, the query aborts *before* any commit,
+the outer loop re-infers the schema and restarts from the same checkpoint —
+the batch replays with the wider schema and MERGE evolves the table.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from couch_to_mongo_spark.functions.normalize import normalize_text
+from couch_to_mongo_spark.operators.merge import merge_batch, with_engine_schema
+from couch_to_mongo_spark.schemas import TRANSCRIPT_SCHEMA
+from couch_to_mongo_spark.sources.changes import (
+    file_schema_extra_columns,
+    infer_feed_schema,
+    read_changes_stream,
+)
+from couch_to_mongo_spark.streaming.lineage import LineageLog
+from couch_to_mongo_spark.tableformat import LakeTable
+
+
+class SchemaDrift(Exception):
+    def __init__(self, new_columns: list[str]):
+        super().__init__(f"schema drift: new columns {new_columns}")
+        self.new_columns = new_columns
+
+
+def _pin_run_id(checkpoint_dir: str) -> str:
+    """One stable run_id per checkpoint identity (create-once file)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    p = os.path.join(checkpoint_dir, "run_id")
+    try:
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        rid = uuid.uuid4().hex
+        os.write(fd, rid.encode())
+        os.close(fd)
+        return rid
+    except FileExistsError:
+        with open(p) as fh:
+            return fh.read().strip()
+
+
+class CdcPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        changes_dir: str,
+        checkpoint_dir: str,
+        n_buckets: int = 16,
+        max_files_per_trigger: int | None = None,
+        normalize: bool = True,
+        since_seq: int | None = None,
+        files_per_bucket: int = 1,
+        collect_stats: bool = True,
+    ):
+        self.spark = spark
+        self.table_path = table_path
+        self.changes_dir = changes_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.n_buckets = n_buckets
+        self.max_files_per_trigger = max_files_per_trigger
+        self.normalize = normalize
+        self.since_seq = since_seq
+        self.files_per_bucket = files_per_bucket
+        self.collect_stats = collect_stats
+
+        self.run_id = _pin_run_id(checkpoint_dir)
+        self.table = self._ensure_table()
+        self.lineage = LineageLog(os.path.join(table_path, "_lineage"))
+        self.feed_schema: T.StructType | None = None
+        self.batches_applied = 0
+        self.batches_fenced = 0
+        self.drift_error: SchemaDrift | None = None
+
+    def _ensure_table(self) -> LakeTable:
+        tbl = LakeTable(self.spark, self.table_path)
+        if not tbl.exists():
+            tbl = LakeTable.create(
+                self.spark,
+                self.table_path,
+                with_engine_schema(TRANSCRIPT_SCHEMA),
+                n_buckets=self.n_buckets,
+            )
+        return tbl
+
+    # ---------------- foreachBatch body ----------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # schema drift fence BEFORE any commit: footer check on input files
+        if self.feed_schema is not None:
+            for f in batch_df.inputFiles():
+                extra = file_schema_extra_columns(
+                    f.removeprefix("file:"), self.feed_schema
+                )
+                if extra:
+                    self.drift_error = SchemaDrift(extra)
+                    raise self.drift_error
+
+        if self.since_seq is not None:
+            batch_df = batch_df.where(F.col("seq") > F.lit(self.since_seq))
+        if self.normalize and "text" in batch_df.columns:
+            batch_df = batch_df.withColumn("text", normalize_text(F.col("text")))
+
+        res = merge_batch(
+            self.table,
+            batch_df,
+            run_id=self.run_id,
+            batch_id=batch_id,
+            files_per_bucket=self.files_per_bucket,
+            collect_stats=self.collect_stats,
+        )
+        if res.skipped:
+            self.batches_fenced += 1
+            return
+        self.batches_applied += 1
+        self.lineage.append(
+            self.run_id,
+            batch_id,
+            seq_min=res.seq_min,
+            seq_max=res.seq_max,
+            rows_applied=res.rows_applied,
+            n_inserts=res.n_inserts,
+            n_updates=res.n_updates,
+            n_deletes=res.n_deletes,
+            snapshot_id=res.snapshot_id,
+            partition_stats={"touched_buckets": res.touched_buckets},
+        )
+
+    # ---------------- drivers ----------------
+
+    def run_available(self, max_restarts: int = 10) -> "CdcPipeline":
+        """Replay everything currently in the feed (trigger availableNow),
+        restarting on schema drift with the evolved schema."""
+        for _ in range(max_restarts):
+            self.feed_schema = infer_feed_schema(self.changes_dir)
+            self.drift_error = None
+            stream = read_changes_stream(
+                self.spark,
+                self.changes_dir,
+                self.feed_schema,
+                max_files_per_trigger=self.max_files_per_trigger,
+            )
+            q = (
+                stream.writeStream.foreachBatch(self.process_batch)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                return self
+            except Exception:
+                if self.drift_error is not None:
+                    continue  # restart with re-inferred (wider) schema
+                raise
+        raise RuntimeError("too many schema-drift restarts")
+
+    def start_continuous(self, processing_time: str = "5 seconds"):
+        """Long-running tail — the reference's forever-poll loop
+        (ChangeFeedClient.java:61-71) as a processingTime trigger."""
+        self.feed_schema = infer_feed_schema(self.changes_dir)
+        stream = read_changes_stream(
+            self.spark,
+            self.changes_dir,
+            self.feed_schema,
+            max_files_per_trigger=self.max_files_per_trigger,
+        )
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
