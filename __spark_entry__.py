@@ -1,38 +1,792 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the real CDC engine end-to-end on
+sf0.001). ``queries()``/``oracle_sql()`` expose one entry per implemented
+operator from SURVEY.md §2 plus the training-data operator family; each
+oracle is ANSI-ish DuckDB SQL over the same parquet views.
+
+Cross-engine determinism rules used throughout:
+- timestamps surface as ``*_epoch`` bigints (``unix_timestamp`` vs
+  ``CAST(floor(epoch(ts)) AS BIGINT)``);
+- float aggregates are ROUNDed in BOTH engines;
+- the shared numeric hash is ``int(md5_hex[:15], 16)`` (``conv`` in Spark,
+  ``CAST('0x'||... AS BIGINT)`` in DuckDB);
+- counts cast to BIGINT in SQL (DuckDB sum(int) is HUGEINT otherwise).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from couch_to_mongo_spark.functions import text as X
+from couch_to_mongo_spark.functions import vectors as V
+from couch_to_mongo_spark.functions.multimodal import attach_fake_payload, decode_media
+from couch_to_mongo_spark.operators.dedup import lww_dedup, salted_lww, with_rev_gen
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (mirror couch_to_mongo_spark.functions.text)
+# ---------------------------------------------------------------------------
+
+def _H(s: str) -> str:  # hash15
+    return f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+
+def _NORM(t: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9 ]', '', 'g'),"
+        f" '\\s+', ' ', 'g'))"
+    )
+
+
+def _TOKS(t: str) -> str:
+    return f"string_split({_NORM(t)}, ' ')"
+
+
+_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(tk)-2, 1)),"
+    " i -> array_to_string(tk[i:i+2], ' '))"
+)
+
+_STOP_SQL = "['the','a','of','and','to','in','is','it']"
+
+
+# ---------------------------------------------------------------------------
+# CDC / events operators (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def q_lww_latest_state(spark, sf_dir):
+    """A4: per-key last-writer-wins via max_by hash aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    out = lww_dedup(ev, ["user_id"], ["event_id"])
+    return out.select(
+        F.col("user_id"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.unix_timestamp("ts").alias("last_epoch"),
+    )
+
+
+SQL_LWW = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       value AS last_value, CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_salted_lww(spark, sf_dir):
+    """P1: explicit two-phase salted LWW — same result as q_lww_latest_state."""
+    ev = _t(spark, sf_dir, "events")
+    out = salted_lww(ev, ["user_id"], ["event_id"], n_salts=16, salt_col="event_id")
+    return out.select(
+        F.col("user_id"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.unix_timestamp("ts").alias("last_epoch"),
+    )
+
+
+def q_anti_join_new_keys(spark, sf_dir):
+    """F1/JN2: keys present in the feed but absent from the sink dimension."""
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    return ev.join(cust, "user_id", "left_anti")
+
+
+SQL_ANTI = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+def q_checkpoint_top1(spark, sf_dir):
+    """O2: latest checkpoint row — orderBy desc limit 1 (TakeOrdered top-k)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("event_id").desc())
+        .limit(1)
+        .select("event_id", F.unix_timestamp("ts").alias("ts_epoch"))
+    )
+
+
+SQL_TOP1 = """
+SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM events ORDER BY event_id DESC LIMIT 1
+"""
+
+
+def q_session_lifecycle(spark, sf_dir):
+    """A1: per-session lifecycle aggregation (start/end detection analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("first_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("last_epoch"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_end"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )
+
+
+SQL_SESSION = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch,
+       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_end,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM events GROUP BY user_id
+"""
+
+
+def q_batch_lineage_stats(spark, sf_dir):
+    """A5/S7: per-batch seq-range + counts (lineage rows)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("batch_id", (F.col("event_id") / 1000).cast("long"))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("seq_min"),
+            F.max("event_id").alias("seq_max"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_BATCH = """
+SELECT CAST(event_id // 1000 AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(event_id) AS seq_min, max(event_id) AS seq_max,
+       ROUND(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_union_dedup(spark, sf_dir):
+    """§2.8: union + distinct of two event selections."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "signup").select("event_id", "user_id")
+    b = ev.where(F.col("value") > 150).select("event_id", "user_id")
+    return a.unionByName(b).distinct()
+
+
+SQL_UNION = """
+SELECT event_id, user_id FROM events WHERE event_type = 'signup'
+UNION
+SELECT event_id, user_id FROM events WHERE value > 150
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """J2/C1-C2: nested JSON field extraction + aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+SQL_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_range_scan(spark, sf_dir):
+    """S2: partition/predicate-pruned range scan."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("user_id").between(10, 20)) & (F.col("event_type") == "click")
+    ).select("event_id", "user_id", "value")
+
+
+SQL_RANGE = """
+SELECT event_id, user_id, value FROM events
+WHERE user_id BETWEEN 10 AND 20 AND event_type = 'click'
+"""
+
+
+def q_point_lookup(spark, sf_dir):
+    """S3: point lookup by key."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") == 1234).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+SQL_POINT = """
+SELECT event_id, user_id, event_type, value FROM events WHERE event_id = 1234
+"""
+
+
+def q_count_probe(spark, sf_dir):
+    """S8: sink count probe."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+SQL_COUNT = "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events"
+
+
+def _derive_changes(ev: DataFrame) -> DataFrame:
+    """Deterministic change-feed derivation from the events table
+    (event_id≈seq, user_id≈conv) — FIXTURES.md §5."""
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        F.concat(F.lit("conv-"), F.lpad((F.col("user_id") % 50).cast("string"), 6, "0")).alias("conv_id"),
+        (F.col("event_id") % 20).cast("int").alias("turn_idx"),
+        F.concat(F.col("event_type"), F.lit(":"), (F.col("event_id") % 997).cast("string")).alias("text"),
+    )
+
+
+SQL_DERIVE = """
+SELECT event_id AS seq,
+       CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+       'conv-' || lpad(CAST(user_id % 50 AS VARCHAR), 6, '0') AS conv_id,
+       CAST(event_id % 20 AS INTEGER) AS turn_idx,
+       event_type || ':' || CAST(event_id % 997 AS VARCHAR) AS text
+FROM events
+"""
+
+
+def q_cdc_fold(spark, sf_dir):
+    """A4+S6: the CDC correctness kernel — LWW fold of a change feed to
+    final state, deletes dropped."""
+    ch = _derive_changes(_t(spark, sf_dir, "events"))
+    win = lww_dedup(ch, ["conv_id", "turn_idx"], ["seq"])
+    return win.where(F.col("op") != "d").select(
+        "conv_id", "turn_idx", F.col("seq").alias("last_seq"), "text"
+    )
+
+
+SQL_CDC_FOLD = f"""
+WITH ch AS ({SQL_DERIVE}),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) rn
+           FROM ch)
+SELECT conv_id, turn_idx, seq AS last_seq, text
+FROM ranked WHERE rn = 1 AND op <> 'd'
+"""
+
+
+def q_rev_order(spark, sf_dir):
+    """C4: CouchDB-style N-hash rev parsing + (gen, hash) LWW ordering."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.concat(
+            (F.col("event_id") % 5 + 1).cast("string"),
+            F.lit("-"),
+            F.md5(F.col("event_id").cast("string")),
+        ).alias("_rev"),
+    )
+    ev = with_rev_gen(ev)
+    win = lww_dedup(ev, ["user_id"], ["rev_gen", "_rev", "event_id"])
+    return win.select("user_id", "event_id", F.col("rev_gen").alias("winning_gen"))
+
+
+SQL_REV = """
+WITH r AS (
+  SELECT user_id, event_id,
+         CAST(event_id % 5 + 1 AS VARCHAR) || '-' || md5(CAST(event_id AS VARCHAR)) AS rev,
+         CAST(event_id % 5 + 1 AS BIGINT) AS rev_gen
+  FROM events),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY rev_gen DESC, rev DESC, event_id DESC) rn
+           FROM r)
+SELECT user_id, event_id, rev_gen AS winning_gen FROM ranked WHERE rn = 1
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: gap > 12 h starts a new session (lag + cumsum window)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
+    )
+    w = W.partitionBy("user_id").orderBy("ep", "event_id")
+    gap = F.col("ep") - F.lag("ep").over(w)
+    df = ev.withColumn("new_s", F.when(gap.isNull() | (gap > 43200), 1).otherwise(0))
+    df = df.withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return df.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ep").alias("start_epoch"),
+        F.max("ep").alias("end_epoch"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+g AS (SELECT *, CASE WHEN ep - lag(ep) OVER w IS NULL
+                       OR ep - lag(ep) OVER w > 43200 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ep) AS start_epoch, max(ep) AS end_epoch
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational coverage (joins / aggs / sorts)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity), 2) AS sum_qty,
+       ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(avg(l_quantity), 4) AS avg_qty,
+       ROUND(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_broadcast_enrich(spark, sf_dir):
+    """JN: fact ⋈ broadcast(dim) — revenue per market segment."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_BCAST = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """O/window: top-3 orders per market segment (rank window, deterministic
+    tiebreak)."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_TOPK = """
+SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey) t
+WHERE rk <= 3
+"""
+
+
+def q_q3_shipping(spark, sf_dir):
+    """Multi-join (C ⋈ O ⋈ L) + agg + deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey).join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"), "revenue")
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, revenue FROM (
+  SELECT l_orderkey, o_orderdate,
+         ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM customer JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+  GROUP BY l_orderkey, o_orderdate) t
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators: dedup family / text analysis / vectors
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return X.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_NORM('text')}) AS fp, min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_FP = f"SELECT doc_id, md5({_NORM('text')}) AS fp FROM documents"
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return X.lsh_band_buckets(_t(spark, sf_dir, "documents"), k=8, bands=4)
+
+
+_MH_COLS = ", ".join(
+    "list_min(list_transform(sl, s -> " + _H(f"'p{i}:' || s") + f")) AS mh{i}"
+    for i in range(8)
+)
+
+SQL_MINHASH_LSH = f"""
+WITH docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS sl FROM docs),
+sig AS (SELECT doc_id, {_MH_COLS}
+  FROM sh)
+SELECT doc_id, bucket FROM (
+  SELECT doc_id, unnest([
+    '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR),
+    '1_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR),
+    '2_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR),
+    '3_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)]) AS bucket
+  FROM sig) t
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return X.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+SQL_JACCARD = f"""
+WITH docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s FROM docs),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, n_common,
+       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+"""
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.simhash16(F.col("text")).alias("simhash"))
+
+
+SQL_SIMHASH = f"""
+WITH docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS t FROM docs),
+tb AS (SELECT doc_id, b.bit,
+              sum(CASE WHEN ({_H('t')} >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       FROM tok CROSS JOIN range(0, 16) b(bit) GROUP BY doc_id, b.bit)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM tb GROUP BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return X.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(lang: str, markers: tuple) -> str:
+    arr = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter(tk, x -> list_contains({arr}, x)))"
+
+
+SQL_LANG = f"""
+WITH docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
+s AS (SELECT doc_id,
+  {", ".join(f"CAST({_lang_score_sql(lang, m)} AS INTEGER) AS score_{lang}" for lang, m in X.LANG_MARKERS.items())}
+  FROM docs)
+SELECT *,
+  CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es
+            AND score_en > 0 THEN 'en'
+       WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+       WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+       WHEN score_es > 0 THEN 'es'
+       ELSE 'unknown' END AS lang_pred
+FROM s
+"""
+
+
+def q_quality(spark, sf_dir):
+    return X.quality_features(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars_m,
+         len({_TOKS('text')}) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         len(list_filter({_TOKS('text')}, x -> list_contains({_STOP_SQL}, x))) AS n_stop
+  FROM documents)
+SELECT doc_id,
+       CAST(n_chars_m AS BIGINT) AS n_chars_m,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       ROUND(n_punct / n_chars_m, 6) AS punct_ratio,
+       ROUND(n_digit / n_chars_m, 6) AS digit_ratio,
+       ROUND(n_stop / n_tokens, 6) AS stopword_ratio,
+       ROUND(least(n_tokens / 100.0, 1.0) * (1 - n_punct / n_chars_m), 6) AS quality_score
+FROM f
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    return X.token_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKENS = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+       ROUND(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))
+             / len(string_split_regex(trim(text), '\\s+')), 6) AS subword_ratio
+FROM documents
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return V.cosine_topk(emb, list(qvec), k=10)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+comp AS (
+  SELECT e.vec_id,
+         sum(e.embedding[i.i]::DOUBLE * q.qe[i.i]::DOUBLE) AS dp,
+         sum(e.embedding[i.i]::DOUBLE * e.embedding[i.i]::DOUBLE) AS na,
+         sum(q.qe[i.i]::DOUBLE * q.qe[i.i]::DOUBLE) AS nq
+  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) i(i)
+  GROUP BY e.vec_id)
+SELECT vec_id, ROUND(dp / (sqrt(na) * sqrt(nq)), 5) AS cos_sim
+FROM comp ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_neardup_cosine(spark, sf_dir):
+    return V.neardup_pairs_by_label(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+SQL_NEARDUP = """
+WITH comp AS (
+  SELECT a.label AS lbl, a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(a.embedding[i.i]::DOUBLE * b.embedding[i.i]::DOUBLE) AS dp,
+         sum(a.embedding[i.i]::DOUBLE * a.embedding[i.i]::DOUBLE) AS na,
+         sum(b.embedding[i.i]::DOUBLE * b.embedding[i.i]::DOUBLE) AS nb
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  CROSS JOIN range(1, 65) i(i)
+  GROUP BY 1, 2, 3)
+SELECT lbl, id_a, id_b, ROUND(dp / (sqrt(na) * sqrt(nb)), 5) AS cos_sim
+FROM comp WHERE ROUND(dp / (sqrt(na) * sqrt(nb)), 5) >= 0.3
+"""
+
+
+def q_lsh_ann_buckets(spark, sf_dir):
+    return V.lsh_bucket_ann(_t(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
+
+
+SQL_LSH_ANN = """
+WITH p AS (
+  SELECT i.i AS pi, j.j AS pj,
+         (CAST('0x' || substr(md5('pl' || CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 15) AS BIGINT)
+          % 2001 - 1000) / 1000.0 AS w
+  FROM range(0, 8) i(i) CROSS JOIN range(0, 64) j(j)),
+d AS (SELECT e.vec_id, p.pi, sum(e.embedding[p.pj + 1]::DOUBLE * p.w) AS dp
+      FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, p.pi)
+SELECT vec_id,
+       CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << pi) ELSE 0 END) AS BIGINT) AS bucket
+FROM d GROUP BY vec_id
+"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary media payload → mapInPandas decode (deterministic stub codec)."""
+    media = attach_fake_payload(_t(spark, sf_dir, "documents"))
+    return decode_media(media)
+
+
+SQL_MULTIMODAL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         'payload-' || CAST(doc_id AS VARCHAR) AS payload_s
+  FROM documents),
+h AS (SELECT *, md5(payload_s) AS digest,
+             CAST('0x' || substr(md5(payload_s), 1, 8) AS BIGINT) AS hv FROM m)
+SELECT media_id, kind,
+       CAST(length(payload_s) AS INTEGER) AS n_bytes,
+       CAST(CASE WHEN kind = 'image' THEN 64 + hv % 1024 END AS INTEGER) AS width,
+       CAST(CASE WHEN kind = 'image' THEN 64 + (hv >> 10) % 1024 END AS INTEGER) AS height,
+       CAST(CASE WHEN kind IN ('audio','video') THEN 1000 + hv % 600000 END AS INTEGER) AS duration_ms,
+       digest AS content_digest
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# the real engine end-to-end (non-SQL-expressible: streaming + table format)
+# ---------------------------------------------------------------------------
+
+def q_engine_replay(spark, sf_dir):
+    """Full engine: derived change feed → bucketed MERGE replay → final state.
+    No oracle entry (streaming + table format); rows-only check."""
+    from couch_to_mongo_spark.operators.merge import merge_batch, read_state, with_engine_schema
+    from couch_to_mongo_spark.tableformat import LakeTable
+    from pyspark.sql import types as T
+
+    ch = _derive_changes(_t(spark, sf_dir, "events"))
+    payload = T.StructType(
+        [f for f in ch.schema.fields if f.name not in ("seq", "op")]
+    )
+    work = tempfile.mkdtemp(prefix="c2m_entry_")
+    table = LakeTable.create(
+        spark, os.path.join(work, "tbl"), with_engine_schema(payload), n_buckets=8
+    )
+    n = ch.agg(F.max("seq")).first()[0] or 0
+    half = n // 2
+    merge_batch(table, ch.where(F.col("seq") <= half), run_id="entry", batch_id=0, collect_stats=False)
+    merge_batch(table, ch.where(F.col("seq") > half), run_id="entry", batch_id=1, collect_stats=False)
+    return read_state(table).select("conv_id", "turn_idx", "text")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the CDC engine applied end-to-end on sf0.001."""
+    return q_engine_replay(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lww_latest_state": q_lww_latest_state,
+        "salted_lww": q_salted_lww,
+        "anti_join_new_keys": q_anti_join_new_keys,
+        "checkpoint_top1": q_checkpoint_top1,
+        "session_lifecycle": q_session_lifecycle,
+        "batch_lineage_stats": q_batch_lineage_stats,
+        "union_dedup": q_union_dedup,
+        "json_extract": q_json_extract,
+        "range_scan": q_range_scan,
+        "point_lookup": q_point_lookup,
+        "count_probe": q_count_probe,
+        "cdc_fold": q_cdc_fold,
+        "rev_order": q_rev_order,
+        "sessionize": q_sessionize,
+        "q1_pricing": q_q1_pricing,
+        "broadcast_enrich": q_broadcast_enrich,
+        "topk_per_group": q_topk_per_group,
+        "q3_shipping": q_q3_shipping,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_fingerprint,
+        "minhash_lsh_buckets": q_minhash_lsh,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality,
+        "token_counts": q_token_counts,
+        "cosine_topk": q_cosine_topk,
+        "neardup_cosine": q_neardup_cosine,
+        "lsh_ann_buckets": q_lsh_ann_buckets,
+        "multimodal_decode": q_multimodal_decode,
+        "engine_replay": q_engine_replay,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lww_latest_state": SQL_LWW,
+        "salted_lww": SQL_LWW,
+        "anti_join_new_keys": SQL_ANTI,
+        "checkpoint_top1": SQL_TOP1,
+        "session_lifecycle": SQL_SESSION,
+        "batch_lineage_stats": SQL_BATCH,
+        "union_dedup": SQL_UNION,
+        "json_extract": SQL_JSON,
+        "range_scan": SQL_RANGE,
+        "point_lookup": SQL_POINT,
+        "count_probe": SQL_COUNT,
+        "cdc_fold": SQL_CDC_FOLD,
+        "rev_order": SQL_REV,
+        "sessionize": SQL_SESSIONIZE,
+        "q1_pricing": SQL_Q1,
+        "broadcast_enrich": SQL_BCAST,
+        "topk_per_group": SQL_TOPK,
+        "q3_shipping": SQL_Q3,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "doc_fingerprint": SQL_FP,
+        "minhash_lsh_buckets": SQL_MINHASH_LSH,
+        "ngram_jaccard_pairs": SQL_JACCARD,
+        "simhash": SQL_SIMHASH,
+        "lang_id": SQL_LANG,
+        "quality_score": SQL_QUALITY,
+        "token_counts": SQL_TOKENS,
+        "cosine_topk": SQL_COSINE_TOPK,
+        "neardup_cosine": SQL_NEARDUP,
+        "lsh_ann_buckets": SQL_LSH_ANN,
+        "multimodal_decode": SQL_MULTIMODAL,
+        # engine_replay: intentionally no oracle (streaming+table format)
+    }

@@ -44,6 +44,7 @@ def bulk_bootstrap(
     key_cols: list[str] | None = None,
     n_buckets: int = 16,
     run_id: str = "bootstrap",
+    order_cols: list[str] | None = None,
     normalize: bool = True,
     seq_floor: int = -1,
     files_per_bucket: int = 1,
@@ -62,7 +63,9 @@ def bulk_bootstrap(
         df = df.withColumn("text", normalize_text(F.col("text")))
     # defensive dedup: source snapshots can overlap at range boundaries
     # (the reference's boundary-overlap dedup, Couch.java:320-341 / P4)
-    df = lww_dedup(df, key_cols, [c for c in ("ts",) if c in df.columns] or key_cols[:1])
+    if order_cols is None:
+        order_cols = [c for c in ("ts",) if c in df.columns] or key_cols[:1]
+    df = lww_dedup(df, key_cols, order_cols)
     df = (
         df.withColumn(SEQ_COL, F.lit(seq_floor).cast("long"))
         .withColumn(REV_COL, F.lit("0-bootstrap"))

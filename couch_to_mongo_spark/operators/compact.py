@@ -1,0 +1,66 @@
+"""Compaction: fold merge-on-read delta files back to one file per bucket.
+
+The MOR write path (operators/merge.py mode='mor') appends O(batch) delta
+files per micro-batch; compaction amortizes the table rewrite over many
+batches — each bucket is rewritten once per ``max_files_per_bucket``
+batches instead of once per batch, so total write amplification is
+O(table / threshold) per batch on average.
+
+Tombstones survive compaction by default (an out-of-order replay of an
+old update must still lose to the tombstone); ``purge_tombstones=True``
+drops them — safe once no replayable batch predates the tombstone seq
+(e.g. after checkpoint retention expiry), mirroring lake-format
+delete-file retention rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from couch_to_mongo_spark.operators.dedup import lww_dedup, with_rev_gen
+from couch_to_mongo_spark.operators.merge import DELETED_COL, REV_COL, SEQ_COL
+from couch_to_mongo_spark.tableformat import BUCKET_COL, LakeTable, bucket_expr
+
+
+def compact(
+    table: LakeTable,
+    max_files_per_bucket: int = 8,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    purge_tombstones: bool = False,
+    buckets: list[int] | None = None,
+) -> dict:
+    """Rewrite every bucket holding more than ``max_files_per_bucket``
+    files to a single LWW-resolved file. Returns {bucket: n_files_before}.
+    """
+    snap = table.snapshot()
+    if buckets is None:
+        buckets = [
+            int(b) for b, fl in snap.files.items() if len(fl) > max_files_per_bucket
+        ]
+    if not buckets:
+        return {}
+    before = {b: len(snap.files.get(str(b), [])) for b in buckets}
+
+    df = table.read_buckets(buckets)
+    key_cols = [c for c in key_cols if c in df.columns]
+    df = with_rev_gen(df, rev_col=REV_COL)
+    df = lww_dedup(df, key_cols, [SEQ_COL, "rev_gen", REV_COL]).drop("rev_gen")
+    if purge_tombstones:
+        df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+    df = df.withColumn(BUCKET_COL, bucket_expr(key_cols[0], snap.n_buckets))
+    df = df.repartition(len(buckets), F.col(BUCKET_COL))
+
+    new_files = table.write_bucketed(
+        df, snapshot_hint=f"c{snap.version + 1:08d}", n_buckets=snap.n_buckets
+    )
+    table.commit(
+        new_files,
+        buckets,
+        {
+            "op": "compact",
+            "buckets": buckets,
+            "files_before": before,
+            "purged_tombstones": purge_tombstones,
+        },
+    )
+    return before

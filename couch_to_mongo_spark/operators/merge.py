@@ -97,10 +97,24 @@ def merge_batch(
     already_deduped: bool = False,
     files_per_bucket: int = 1,
     collect_stats: bool = True,
+    mode: str = "mor",
+    transform_after_dedup=None,
 ) -> MergeResult:
     """Apply one change batch to the table, exactly-once under replay.
 
     ``batch_df`` columns: key_cols + op + seq + _rev + payload columns.
+
+    mode='mor' (default, merge-on-read): append the LWW-deduped batch
+    (including tombstones) as per-bucket delta files — write cost O(batch),
+    never O(table); readers resolve multi-version rows via the same LWW
+    ordering (read_state), and compaction (operators/compact.py) folds
+    buckets back to one file. This is what survives 10^10 events: COW's
+    per-batch bucket rewrite is O(batches x table) when batches touch all
+    buckets.
+
+    mode='cow' (copy-on-write): rewrite touched buckets to contain only
+    winners — reads pay nothing, writes pay O(touched buckets). Also used
+    as the compaction kernel.
     """
     if table.is_batch_committed(run_id, batch_id):
         return MergeResult(skipped=True)
@@ -124,14 +138,51 @@ def merge_batch(
         ).collect()[0]
     if not already_deduped:
         b = lww_dedup(b, key_cols, order_in_batch)
+    if transform_after_dedup is not None:
+        # e.g. text normalization: applied to winners only, downstream of the
+        # dedup shuffle, so the (Python) kernel runs on n_keys rows across
+        # all cores instead of n_events rows on the scan's partitioning
+        b = transform_after_dedup(b)
     b = (
         b.withColumn(DELETED_COL, F.col(op_col) == F.lit("d"))
         .withColumnRenamed(seq_col, SEQ_COL)
     )
     if rev_col != REV_COL:
         b = b.withColumnRenamed(rev_col, REV_COL)
-    b = b.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets)).persist()
+    b = b.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets))
 
+    payload_fields = [
+        f
+        for f in b.schema.fields
+        if f.name not in TRANSIENT_COLS and f.name not in ENGINE_COLS
+    ]
+    evolved = evolve_schema(snap.schema, with_engine_schema(T.StructType(payload_fields)))
+
+    if mode == "mor" and not collect_stats:
+        # FAST PATH: single pass — dedup → bucket-partitioned append, touched
+        # buckets learned from the write output; lineage from parquet footers.
+        new_rows = align_to_schema(b, evolved).withColumn(
+            BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
+        )
+        n_parts = n_buckets * max(files_per_bucket, 1)
+        new_rows = new_rows.repartition(n_parts, F.col(BUCKET_COL))
+        delta = table.write_bucketed(
+            new_rows, snapshot_hint=f"s{snap.version + 1:08d}", n_buckets=n_buckets
+        )
+        touched = sorted(delta.keys())
+        merged = {bkt: snap.files.get(str(bkt), []) + fl for bkt, fl in delta.items()}
+        result = MergeResult(skipped=False, touched_buckets=len(touched))
+        rows, mn, mx = _footer_seq_stats(table, merged, snap)
+        result.rows_applied = rows
+        result.seq_min, result.seq_max = mn, mx
+        new_snap = table.commit(
+            merged, touched, result.to_lineage(), new_schema=evolved,
+            run_id=run_id, batch_id=batch_id,
+        )
+        result.snapshot_id = new_snap.snapshot_id
+        return result
+
+    b = b.persist()
     try:
         touched = [r[0] for r in b.select(BUCKET_COL).distinct().collect()]
         if not touched:
@@ -140,21 +191,19 @@ def merge_batch(
             )
             return MergeResult(skipped=False, snapshot_id=new_snap.snapshot_id)
 
-        payload_fields = [
-            f
-            for f in b.schema.fields
-            if f.name not in TRANSIENT_COLS and f.name not in ENGINE_COLS
-        ]
-        evolved = evolve_schema(snap.schema, with_engine_schema(T.StructType(payload_fields)))
-
-        existing = table.read_buckets(touched)
+        existing = None
+        if collect_stats or mode != "mor":
+            existing = table.read_buckets(touched)
 
         stats_row = None
         if collect_stats:
             # one-pass classification of batch rows against existing live keys
+            # distinct: MOR buckets hold multiple versions per key; without
+            # it the classification join would multiply batch rows
             ex_keys = (
                 existing.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
                 .select(*key_cols)
+                .distinct()
                 .withColumn("_m", F.lit(1))
             )
             cls = b.select(*key_cols, DELETED_COL, SEQ_COL).join(ex_keys, key_cols, "left")
@@ -168,13 +217,17 @@ def merge_batch(
                 F.count(F.when(is_del & matched, 1)).alias("n_deletes"),
             ).collect()[0]
 
-        # --- union + LWW: existing rows vs batch rows, batch wins ties ---
-        ex = align_to_schema(existing, evolved).withColumn("_src", F.lit(0))
-        ba = align_to_schema(b, evolved).withColumn("_src", F.lit(1))
-        combined = ex.unionByName(ba)
-        combined = with_rev_gen(combined, rev_col=REV_COL)
-        winners = lww_dedup(combined, key_cols, [SEQ_COL, "rev_gen", REV_COL, "_src"])
-        new_rows = winners.drop("rev_gen", "_src")
+        if mode == "mor":
+            # append deduped batch (with tombstones) as delta files
+            new_rows = align_to_schema(b, evolved)
+        else:
+            # --- union + LWW: existing vs batch rows, batch wins ties ---
+            ex = align_to_schema(existing, evolved).withColumn("_src", F.lit(0))
+            ba = align_to_schema(b, evolved).withColumn("_src", F.lit(1))
+            combined = ex.unionByName(ba)
+            combined = with_rev_gen(combined, rev_col=REV_COL)
+            winners = lww_dedup(combined, key_cols, [SEQ_COL, "rev_gen", REV_COL, "_src"])
+            new_rows = winners.drop("rev_gen", "_src")
         new_rows = new_rows.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets))
 
         n_parts = max(len(touched), 1) * max(files_per_bucket, 1)
@@ -190,8 +243,19 @@ def merge_batch(
         new_files = table.write_bucketed(
             new_rows, snapshot_hint=f"s{snap.version + 1:08d}", n_buckets=n_buckets
         )
+        if mode == "mor":
+            new_files = {
+                bkt: snap.files.get(str(bkt), []) + fl for bkt, fl in new_files.items()
+            }
 
         result = MergeResult(skipped=False, touched_buckets=len(touched))
+        if stats_row is None:
+            # free lineage from parquet footers of the files just written:
+            # rows + min/max _seq, no extra Spark job
+            rows, mn, mx = _footer_seq_stats(table, new_files, snap if mode == "mor" else None)
+            result.rows_applied = rows
+            result.seq_min = raw_range["mn"] if raw_range is not None else mn
+            result.seq_max = raw_range["mx"] if raw_range is not None else mx
         if stats_row is not None:
             result.n_inserts = stats_row["n_inserts"]
             result.n_updates = stats_row["n_updates"]
@@ -215,10 +279,50 @@ def merge_batch(
         b.unpersist()
 
 
-def read_state(table: LakeTable, version: int | None = None) -> DataFrame:
-    """The logical (public) table state: live rows, payload columns only,
-    in stable (conv_id, turn_idx) order-ready shape."""
+def read_state(
+    table: LakeTable,
+    version: int | None = None,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """The logical (public) table state: live rows, payload columns only.
+
+    Merge-on-read resolution: LWW over (_seq, rev_gen, _rev) collapses the
+    multi-version delta rows; tombstone winners are then dropped. On a
+    compacted/COW table the dedup is a no-op pass."""
     df = table.read(version)
+    key_cols = [c for c in key_cols if c in df.columns]
+    if SEQ_COL in df.columns and key_cols:
+        df = with_rev_gen(df, rev_col=REV_COL)
+        df = lww_dedup(df, key_cols, [SEQ_COL, "rev_gen", REV_COL])
+        df = df.drop("rev_gen")
     if DELETED_COL in df.columns:
         df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
     return df.drop(*[c for c in ENGINE_COLS if c in df.columns])
+
+
+def _footer_seq_stats(table, new_files, prev_snap=None):
+    """rows + min/max(_seq) of the freshly written delta files, read from
+    parquet footers (metadata-only I/O)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    prev = set()
+    if prev_snap is not None:
+        prev = {f for fl in prev_snap.files.values() for f in fl}
+    rows, mn, mx = 0, None, None
+    for fl in new_files.values():
+        for f in fl:
+            if f in prev:
+                continue
+            md = _pq.read_metadata(_os.path.join(table.path, f))
+            rows += md.num_rows
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if SEQ_COL in idx:
+                ci = idx[SEQ_COL]
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is not None and st.has_min_max:
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+    return rows, mn, mx

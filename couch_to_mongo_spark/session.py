@@ -42,6 +42,9 @@ def get_spark(
         # session), not TIMESTAMP_NTZ — keeps one timestamp type everywhere
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # micro-batch change files are small; split finer so a single-file
+        # batch still scans in parallel
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.shuffle.spill.compress", "true")

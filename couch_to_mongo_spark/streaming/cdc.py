@@ -81,6 +81,8 @@ class CdcPipeline:
         since_seq: int | None = None,
         files_per_bucket: int = 1,
         collect_stats: bool = True,
+        mode: str = "mor",
+        compact_threshold: int = 8,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -92,6 +94,9 @@ class CdcPipeline:
         self.since_seq = since_seq
         self.files_per_bucket = files_per_bucket
         self.collect_stats = collect_stats
+        self.mode = mode
+        self.compact_threshold = compact_threshold
+        self.compactions = 0
 
         self.run_id = _pin_run_id(checkpoint_dir)
         self.table = self._ensure_table()
@@ -127,8 +132,9 @@ class CdcPipeline:
 
         if self.since_seq is not None:
             batch_df = batch_df.where(F.col("seq") > F.lit(self.since_seq))
+        transform = None
         if self.normalize and "text" in batch_df.columns:
-            batch_df = batch_df.withColumn("text", normalize_text(F.col("text")))
+            transform = lambda df: df.withColumn("text", normalize_text(F.col("text")))
 
         res = merge_batch(
             self.table,
@@ -137,11 +143,18 @@ class CdcPipeline:
             batch_id=batch_id,
             files_per_bucket=self.files_per_bucket,
             collect_stats=self.collect_stats,
+            mode=self.mode,
+            transform_after_dedup=transform,
         )
         if res.skipped:
             self.batches_fenced += 1
             return
         self.batches_applied += 1
+        if self.mode == "mor" and self.compact_threshold:
+            from couch_to_mongo_spark.operators.compact import compact
+
+            if compact(self.table, max_files_per_bucket=self.compact_threshold):
+                self.compactions += 1
         self.lineage.append(
             self.run_id,
             batch_id,
