@@ -23,6 +23,12 @@ def evolve_schema(table_schema: T.StructType, batch_schema: T.StructType) -> T.S
     fields = list(table_schema.fields)
     names = {f.name for f in fields}
     for bf in batch_schema.fields:
+        if isinstance(bf.dataType, T.NullType):
+            # an all-null batch column carries no type evidence: compatible
+            # with any existing column; as a NEW column it arrives as string
+            if bf.name not in names:
+                fields.append(T.StructField(bf.name, T.StringType(), True))
+            continue
         if bf.name in names:
             tf = next(f for f in fields if f.name == bf.name)
             if tf.dataType != bf.dataType and not _promotable(bf.dataType, tf.dataType):

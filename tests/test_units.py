@@ -1,0 +1,201 @@
+"""Unit tests: dedup kernels, normalizer, schema evolution, rev parsing,
+bootstrap, compaction (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from couch_to_mongo_spark.functions.normalize import normalize_text, normalize_text_py
+from couch_to_mongo_spark.operators.dedup import (
+    lww_dedup,
+    lww_dedup_window,
+    salted_lww,
+    with_rev_gen,
+)
+from couch_to_mongo_spark.operators.schema_evolution import align_to_schema, evolve_schema
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["seq", "conv_id", "turn_idx", "_rev", "text"])
+    )
+
+
+DUPS = [
+    (1, "a", 0, "1-aa", "v1"),
+    (5, "a", 0, "2-bb", "v2"),
+    (3, "a", 0, "2-aa", "v1b"),  # lower seq loses despite same gen
+    (2, "b", 1, "1-zz", "w1"),
+    (4, "b", 1, "1-zz", "w2"),  # same rev, higher seq wins
+    (6, "c", 2, "9-xx", "only"),
+]
+
+
+def test_three_dedup_kernels_agree(spark):
+    df = with_rev_gen(_changes(spark, DUPS))
+    order = ["seq", "rev_gen", "_rev"]
+    keys = ["conv_id", "turn_idx"]
+    a = lww_dedup(df, keys, order).orderBy(*keys).collect()
+    b = lww_dedup_window(df, keys, order).orderBy(*keys).collect()
+    c = salted_lww(df, keys, order, n_salts=4).orderBy(*keys).collect()
+    rows_a = [(r.conv_id, r.turn_idx, r.seq, r.text) for r in a]
+    rows_b = [(r.conv_id, r.turn_idx, r.seq, r.text) for r in b]
+    rows_c = [(r.conv_id, r.turn_idx, r.seq, r.text) for r in c]
+    assert rows_a == rows_b == rows_c
+    assert rows_a == [("a", 0, 5, "v2"), ("b", 1, 4, "w2"), ("c", 2, 6, "only")]
+
+
+def test_rev_gen_parsing(spark):
+    df = spark.createDataFrame(
+        [("1-abc",), ("12-ff00",), ("3-",), (None,)], ["_rev"]
+    )
+    out = [r.rev_gen for r in with_rev_gen(df).collect()]
+    assert out == [1, 12, 3, 0]
+
+
+def test_rev_tiebreak_same_seq(spark):
+    """Duplicate seq (conflict replay): higher rev generation wins, then hash."""
+    rows = [
+        (7, "k", 0, "2-aa", "gen2a"),
+        (7, "k", 0, "3-aa", "gen3"),
+        (7, "k", 0, "2-zz", "gen2z"),
+    ]
+    df = with_rev_gen(_changes(spark, rows))
+    w = lww_dedup(df, ["conv_id", "turn_idx"], ["seq", "rev_gen", "_rev"]).collect()
+    assert w[0].text == "gen3"
+
+
+NASTY = [
+    "résumé  review",
+    "  a\t\tb\nc  ",
+    "",
+    None,
+    "régime — ok",
+    "x",
+]
+
+
+def test_normalizer_matches_python_twin(spark):
+    df = spark.createDataFrame([(s,) for s in NASTY], schema="text string")
+    got = [r.n for r in df.select(normalize_text(F.col("text")).alias("n")).collect()]
+    want = [normalize_text_py(s) for s in NASTY]
+    assert got == want
+    # NFD folded to NFC, whitespace collapsed
+    assert got[0] == "résumé review"
+    assert got[1] == "a b c"
+
+
+def test_evolve_schema_rules():
+    base = T.StructType([T.StructField("a", T.StringType()), T.StructField("b", T.IntegerType())])
+    add = T.StructType([T.StructField("b", T.IntegerType()), T.StructField("c", T.DoubleType())])
+    out = evolve_schema(base, add)
+    assert [f.name for f in out.fields] == ["a", "b", "c"]
+    with pytest.raises(TypeError):
+        evolve_schema(base, T.StructType([T.StructField("b", T.StringType())]))
+
+
+def test_align_null_fills(spark):
+    target = T.StructType(
+        [
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("c", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([("x", 1)], ["a", "b"])
+    out = align_to_schema(df, target)
+    assert out.columns == ["a", "b", "c"]
+    row = out.collect()[0]
+    assert row.c is None and row.b == 1
+
+
+def test_bootstrap_bulk_copy(spark, tmp_path):
+    from couch_to_mongo_spark.bootstrap import bulk_bootstrap
+    from couch_to_mongo_spark.operators.merge import merge_batch, read_state
+    from couch_to_mongo_spark.gen import make_changes_df
+    from couch_to_mongo_spark.oracle import assert_state_parity, expected_state
+
+    snap_pdf = (
+        expected_state(make_changes_df(n_events=2000, n_convs=30, seed=43), normalize=False)
+    )
+    src = spark.createDataFrame(snap_pdf)
+    table, res = bulk_bootstrap(
+        spark, str(tmp_path / "t"), src, n_buckets=8, order_cols=["ts"], normalize=True
+    )
+    assert res.rows_applied == len(snap_pdf)
+    # reference count-parity check (Couch.java:94 / Mongo.java:269-301)
+    assert read_state(table).count() == len(snap_pdf)
+    # rerun is a fenced no-op (resume == rerun)
+    _, res2 = bulk_bootstrap(spark, str(tmp_path / "t"), src, n_buckets=8)
+    assert res2.skipped
+
+    # CDC events (seq >= 0) beat bootstrap rows (seq_floor = -1)
+    upd = make_changes_df(n_events=50, n_convs=30, seed=43)
+    batch = spark.createDataFrame(upd[upd.op != "i"])
+    merge_batch(table, batch, run_id="cdc", batch_id=0)
+    exp = expected_state(make_changes_df(n_events=2000, n_convs=30, seed=43))
+    got = read_state(table).toPandas()
+    # keys: same final key set (updates replace, deletes remove)
+    assert set(map(tuple, got[["conv_id", "turn_idx"]].values)) == set(
+        map(tuple, exp[["conv_id", "turn_idx"]].values)
+    )
+
+
+def test_compaction_folds_files_and_preserves_state(spark, tmp_path):
+    from couch_to_mongo_spark.gen import make_changes_df
+    from couch_to_mongo_spark.operators.compact import compact
+    from couch_to_mongo_spark.operators.merge import merge_batch, read_state, with_engine_schema
+    from couch_to_mongo_spark.oracle import assert_state_parity, expected_state
+    from couch_to_mongo_spark.schemas import TRANSCRIPT_SCHEMA
+    from couch_to_mongo_spark.tableformat import LakeTable
+    from couch_to_mongo_spark.functions.normalize import normalize_text
+
+    pdf = make_changes_df(n_events=3000, n_convs=20, seed=47, delete_frac=0.1)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), with_engine_schema(TRANSCRIPT_SCHEMA), n_buckets=4
+    )
+    for i in range(6):  # 6 MOR batches -> ~6 delta files per bucket
+        b = spark.createDataFrame(pdf[pdf.seq % 6 == i]).withColumn(
+            "text", normalize_text(F.col("text"))
+        )
+        merge_batch(table, b, run_id="r", batch_id=i, collect_stats=False)
+    before = max(len(fl) for fl in table.snapshot().files.values())
+    assert before >= 5
+
+    state_before = read_state(table).toPandas()
+    folded = compact(table, max_files_per_bucket=2)
+    assert folded
+    after = max(len(fl) for fl in table.snapshot().files.values())
+    assert after == 1
+    assert_state_parity(
+        read_state(table).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        expected_state(pdf),
+    )
+
+    # tombstone purge drops deleted rows physically
+    compact(table, max_files_per_bucket=0, purge_tombstones=True,
+            buckets=[int(b) for b in table.snapshot().files])
+    raw = table.read().toPandas()
+    assert raw["_deleted"].sum() == 0
+    assert_state_parity(
+        read_state(table).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        expected_state(pdf),
+    )
+
+
+def test_multimodal_plumbing(spark):
+    from couch_to_mongo_spark.functions.multimodal import attach_fake_payload, decode_media
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    media = attach_fake_payload(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    out = decode_media(media).toPandas().sort_values("media_id")
+    assert len(out) == 30
+    img = out[out.kind == "image"]
+    assert img["width"].notna().all() and img["duration_ms"].isna().all()
+    av = out[out.kind != "image"]
+    assert av["duration_ms"].notna().all() and av["width"].isna().all()
+    assert out["content_digest"].str.len().eq(32).all()
