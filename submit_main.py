@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""spark-submit entry point (north_rule: run via spark-submit --py-files).
+
+    ./scripts/build_pyfiles.sh                 # -> dist/couch_to_mongo_spark.zip
+    spark-submit --py-files dist/couch_to_mongo_spark.zip submit_main.py \
+        replay --table /data/tbl --changes /data/changes --checkpoint /data/ckpt
+
+Subcommands mirror the reference's two phases + operations (SURVEY.md §3):
+bootstrap (bulk snapshot copy), replay (availableNow CDC catch-up), tail
+(continuous CDC), compact, state (count + latest snapshot probe — the
+reference's countDocuments validation, Couch.java:94).
+
+On a cluster, master/executors come from spark-submit; locally it falls
+back to local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(app: str) -> SparkSession:
+    # under spark-submit the master/conf come from the launcher; only fill
+    # engine-required defaults here
+    b = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    )
+    return b.getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="couch_to_mongo_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("bootstrap", help="phase-1 bulk snapshot copy")
+    p.add_argument("--table", required=True)
+    p.add_argument("--source", required=True, help="parquet dir/file of the source snapshot")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--run-id", default="bootstrap")
+
+    p = sub.add_parser("replay", help="CDC catch-up (availableNow)")
+    p.add_argument("--table", required=True)
+    p.add_argument("--changes", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--since-seq", type=int, default=None)
+    p.add_argument("--no-stats", action="store_true")
+
+    p = sub.add_parser("tail", help="continuous CDC tail")
+    p.add_argument("--table", required=True)
+    p.add_argument("--changes", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--trigger", default="5 seconds")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    p = sub.add_parser("compact", help="fold MOR delta files")
+    p.add_argument("--table", required=True)
+    p.add_argument("--max-files-per-bucket", type=int, default=8)
+    p.add_argument("--purge-tombstones", action="store_true")
+
+    p = sub.add_parser("state", help="table probe: snapshot + live row count")
+    p.add_argument("--table", required=True)
+
+    args = ap.parse_args(argv)
+    spark = _spark(f"c2m-{args.cmd}")
+
+    if args.cmd == "bootstrap":
+        from couch_to_mongo_spark.bootstrap import bulk_bootstrap
+
+        src = spark.read.parquet(args.source)
+        _, res = bulk_bootstrap(
+            spark, args.table, src, n_buckets=args.n_buckets, run_id=args.run_id
+        )
+        print(json.dumps(res.to_lineage()))
+    elif args.cmd in ("replay", "tail"):
+        from couch_to_mongo_spark.streaming.cdc import CdcPipeline
+
+        pipe = CdcPipeline(
+            spark,
+            table_path=args.table,
+            changes_dir=args.changes,
+            checkpoint_dir=args.checkpoint,
+            n_buckets=args.n_buckets,
+            max_files_per_trigger=args.max_files_per_trigger,
+            since_seq=getattr(args, "since_seq", None),
+            collect_stats=not getattr(args, "no_stats", False),
+        )
+        if args.cmd == "replay":
+            pipe.run_available()
+            print(
+                json.dumps(
+                    {
+                        "batches_applied": pipe.batches_applied,
+                        "batches_fenced": pipe.batches_fenced,
+                        "compactions": pipe.compactions,
+                        "last_seq": pipe.lineage.last_seq(),
+                        "snapshot": pipe.table.snapshot().snapshot_id,
+                    }
+                )
+            )
+        else:
+            q = pipe.start_continuous(processing_time=args.trigger)
+            q.awaitTermination()
+    elif args.cmd == "compact":
+        from couch_to_mongo_spark.operators.compact import compact
+        from couch_to_mongo_spark.tableformat import LakeTable
+
+        table = LakeTable(spark, args.table)
+        folded = compact(
+            table,
+            max_files_per_bucket=args.max_files_per_bucket,
+            purge_tombstones=args.purge_tombstones,
+        )
+        print(json.dumps({"buckets_compacted": len(folded)}))
+    elif args.cmd == "state":
+        from couch_to_mongo_spark.operators.merge import read_state
+        from couch_to_mongo_spark.tableformat import LakeTable
+
+        table = LakeTable(spark, args.table)
+        snap = table.snapshot()
+        print(
+            json.dumps(
+                {
+                    "snapshot_id": snap.snapshot_id,
+                    "version": snap.version,
+                    "n_files": len(snap.all_files()),
+                    "live_rows": read_state(table).count(),
+                    "committed_batches": len(snap.committed_batches),
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
