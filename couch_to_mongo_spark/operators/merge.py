@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from couch_to_mongo_spark.operators.dedup import lww_dedup, with_rev_gen
+from couch_to_mongo_spark.operators.dedup import lww_dedup, lww_dedup_join, with_rev_gen
 from couch_to_mongo_spark.operators.schema_evolution import align_to_schema, evolve_schema
 from couch_to_mongo_spark.tableformat import BUCKET_COL, LakeTable, bucket_expr
 
@@ -129,6 +129,7 @@ def merge_batch(
         b = b.withColumn(rev_col, F.lit(None).cast("string"))
     b = with_rev_gen(b, rev_col=rev_col)
     order_in_batch = [seq_col, "rev_gen", rev_col]
+    fast_mor = mode == "mor" and not collect_stats
     raw_range = None
     if collect_stats and not already_deduped:
         # lineage records the *source* seq range (pre-dedup), the analogue of
@@ -137,7 +138,10 @@ def merge_batch(
             F.min(seq_col).alias("mn"), F.max(seq_col).alias("mx")
         ).collect()[0]
     if not already_deduped:
-        b = lww_dedup(b, key_cols, order_in_batch)
+        # hot path: join-kernel (order-tie duplicates collapse at read);
+        # stats/COW paths keep the exact one-row-per-key kernel
+        kernel = lww_dedup_join if fast_mor else lww_dedup
+        b = kernel(b, key_cols, order_in_batch)
     if transform_after_dedup is not None:
         # e.g. text normalization: applied to winners only, downstream of the
         # dedup shuffle, so the (Python) kernel runs on n_keys rows across
@@ -158,7 +162,7 @@ def merge_batch(
     ]
     evolved = evolve_schema(snap.schema, with_engine_schema(T.StructType(payload_fields)))
 
-    if mode == "mor" and not collect_stats:
+    if fast_mor:
         # FAST PATH: single pass — dedup → bucket-partitioned append, touched
         # buckets learned from the write output; lineage from parquet footers.
         new_rows = align_to_schema(b, evolved).withColumn(
