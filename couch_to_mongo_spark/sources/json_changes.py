@@ -1,0 +1,100 @@
+"""JSON change-feed source with corrupt-record quarantine.
+
+The reference's feed entries are JSON (`_changes` rows parsed with
+``Document.parse`` — reference: ChangeFeedClient.java:110, Couch.java:295)
+and poison documents are isolated by bisecting a failed insertMany down to
+the single bad doc (Mongo.java:250-261 logs the bad ``_id``). The Spark
+rendering needs no bisection: ``from_json`` with a
+``columnNameOfCorruptRecord`` column classifies every row in one pass —
+good rows flow to MERGE, corrupt ones append to a dead-letter table with
+the raw payload for post-hoc audit (same outcome as the reference's
+per-doc error metadata, Mongo.java:564-593).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from couch_to_mongo_spark.schemas import CHANGE_SCHEMA
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def parse_json_changes(
+    raw: DataFrame,
+    schema: T.StructType = CHANGE_SCHEMA,
+    raw_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a raw JSON-lines change feed into (good, dead_letter).
+
+    good: typed change rows (seq present and parsable — the reference drops
+    seq-less entries, ChangeFeedClient.java:142-145 / F3).
+    dead_letter: raw line + reason, for quarantine append.
+    """
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    parsed = raw.withColumn(
+        "_p",
+        F.from_json(
+            F.col(raw_col),
+            with_corrupt,
+            {"columnNameOfCorruptRecord": CORRUPT_COL, "mode": "PERMISSIVE"},
+        ),
+    )
+    flat = parsed.select(F.col(raw_col).alias("_raw"), "_p.*")
+    is_bad = F.col(CORRUPT_COL).isNotNull() | F.col("seq").isNull()
+    good = flat.where(~is_bad).drop("_raw", CORRUPT_COL)
+    dead = flat.where(is_bad).select(
+        F.col("_raw").alias("raw"),
+        F.when(F.col(CORRUPT_COL).isNotNull(), F.lit("malformed_json"))
+        .otherwise(F.lit("missing_seq"))
+        .alias("reason"),
+    )
+    return good, dead
+
+
+def read_json_changes_batch(
+    spark: SparkSession, changes_dir: str, schema: T.StructType = CHANGE_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    raw = spark.read.text(os.path.join(changes_dir, "*.jsonl"))
+    return parse_json_changes(raw, schema)
+
+
+def read_json_changes_stream(
+    spark: SparkSession,
+    changes_dir: str,
+    schema: T.StructType = CHANGE_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming variant: returns the RAW lines stream; call
+    :func:`parse_json_changes` inside foreachBatch so the dead-letter
+    append shares the batch's exactly-once scope."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.load(changes_dir)
+
+
+class DeadLetterLog:
+    """Append-only quarantine table (one tiny parquet per batch)."""
+
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+
+    def append(self, dead: DataFrame, run_id: str, batch_id: int) -> int:
+        rows = dead.count()
+        if rows:
+            out = os.path.join(self.path, f"dead-{run_id}-{batch_id:08d}")
+            dead.withColumn("run_id", F.lit(run_id)).withColumn(
+                "batch_id", F.lit(batch_id)
+            ).coalesce(1).write.mode("errorifexists").parquet(out)
+        return rows
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "*", "*.parquet"))
