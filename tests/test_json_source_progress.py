@@ -70,7 +70,17 @@ def test_progress_listener_and_run_summaries(spark, tmp_path):
     finally:
         spark.streams.removeListener(rec)
 
-    events = [json.loads(l) for l in open(prog_path)]
+    # listener delivery is async: the final progress event can land after
+    # awaitTermination returns — poll until all batches are reported
+    import time
+
+    events = []
+    for _ in range(40):
+        events = [json.loads(l) for l in open(prog_path)]
+        n_prog = len({e["batchId"] for e in events if e["event"] == "progress"})
+        if n_prog >= pipe.batches_applied:
+            break
+        time.sleep(0.5)
     kinds = {e["event"] for e in events}
     assert {"started", "progress"} <= kinds
     # numInputRows counts every source scan inside the batch (the apply
