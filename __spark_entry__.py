@@ -529,8 +529,7 @@ WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
 
 
 def q_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", X.simhash16(F.col("text")).alias("simhash"))
+    return X.simhash16_df(_t(spark, sf_dir, "documents"))
 
 
 SQL_SIMHASH = f"""

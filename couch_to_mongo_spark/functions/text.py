@@ -91,6 +91,29 @@ def simhash16(col: Column) -> Column:
     return total
 
 
+def simhash16_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out_col: str = "simhash"
+) -> DataFrame:
+    """SimHash, relational shape: explode tokens → one conditional-sum per
+    bit in a single hash aggregation (primitive buffers, codegen'd) —
+    the scale path; :func:`simhash16` (scalar expression) evaluates the
+    16 per-bit array-aggregates interpretively."""
+    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    ex = ex.select(F.col(id_col), hash15(F.col("_t")).alias("_h"))
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(16)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(16):
+        sim = sim + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), sim.alias(out_col))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content fingerprint: keeper = min id.
     Hash-groupBy — one shuffle on the 128-bit fingerprint, skew-free."""
@@ -104,6 +127,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def minhash_signature_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """MinHash signatures, relational shape: explode shingles → k hash
+    columns → hash-aggregate mins per doc.
+
+    Preferred over :func:`minhash_signature` beyond toy inputs: nested
+    higher-order-function expressions (k × transform over shingles, each
+    rebuilding the shingle array) fall out of whole-stage codegen and
+    evaluate interpretively (~200ms/row); the explode shape computes
+    shingles once, keeps every hash in codegen, and aggregates with
+    primitive-buffer min() — linear and shuffle-light (k longs per doc).
+    """
+    ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("_sh"))
+    hashed = ex.select(
+        F.col(id_col),
+        *[
+            hash15(F.concat(F.lit(f"p{i}:"), F.col("_sh"))).alias(f"_h{i}")
+            for i in range(k)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"mh{i}") for i in range(k)]
+    )
+
+
 def lsh_band_buckets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, bands: int = 4
 ) -> DataFrame:
@@ -111,7 +160,7 @@ def lsh_band_buckets(
     Docs sharing any band bucket are near-dup candidates (bucket-join scale
     path: candidates ∝ collisions, never all-pairs)."""
     rows_per_band = k // bands
-    sig = df.select(F.col(id_col), *minhash_signature(F.col(text_col), k))
+    sig = minhash_signature_df(df, text_col, id_col, k)
     band_cols = [
         F.concat_ws(
             "_",
