@@ -268,6 +268,34 @@ class LakeTable:
         self._write_snapshot(snap)
         return snap
 
+    # ---------------- maintenance ----------------
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
+        """Delete data files referenced only by snapshots older than the
+        last ``keep_last`` (bounded time travel — Iceberg's
+        expire_snapshots). Snapshot JSONs are kept (tiny, full audit
+        trail); only unreferenced data files are removed."""
+        last = self.latest_version()
+        if last is None:
+            return {"files_deleted": 0, "snapshots_expired": 0}
+        keep_versions = set(range(max(0, last - keep_last + 1), last + 1))
+        live: set[str] = set()
+        for v in keep_versions:
+            live.update(self.snapshot(v).all_files())
+        deleted = 0
+        expired = 0
+        for v in range(0, max(0, last - keep_last + 1)):
+            expired += 1
+            for f in self.snapshot(v).all_files():
+                if f in live:
+                    continue
+                p = os.path.join(self.path, f)
+                if os.path.exists(p):
+                    os.unlink(p)
+                    deleted += 1
+                live.add(f)  # only attempt once
+        return {"files_deleted": deleted, "snapshots_expired": expired}
+
     def write_bucketed(
         self, df: DataFrame, snapshot_hint: str, n_buckets: int, bucket_col: str = BUCKET_COL
     ) -> dict[int, list[str]]:
