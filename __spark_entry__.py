@@ -36,6 +36,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _epoch(col):
+    """NTZ-safe epoch seconds: the driver's session may read naive parquet
+    timestamps as TIMESTAMP_NTZ (we disable that inference in our own
+    session, but not in theirs); cast pins the type either way."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.unix_timestamp(c.cast("timestamp"))
+
+
 # ---------------------------------------------------------------------------
 # shared DuckDB SQL fragments (mirror couch_to_mongo_spark.functions.text)
 # ---------------------------------------------------------------------------
@@ -76,7 +84,7 @@ def q_lww_latest_state(spark, sf_dir):
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
-        F.unix_timestamp("ts").alias("last_epoch"),
+        _epoch("ts").alias("last_epoch"),
     )
 
 
@@ -98,7 +106,7 @@ def q_salted_lww(spark, sf_dir):
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
-        F.unix_timestamp("ts").alias("last_epoch"),
+        _epoch("ts").alias("last_epoch"),
     )
 
 
@@ -121,7 +129,7 @@ def q_checkpoint_top1(spark, sf_dir):
     return (
         ev.orderBy(F.col("event_id").desc())
         .limit(1)
-        .select("event_id", F.unix_timestamp("ts").alias("ts_epoch"))
+        .select("event_id", _epoch("ts").alias("ts_epoch"))
     )
 
 
@@ -136,8 +144,8 @@ def q_session_lifecycle(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.unix_timestamp(F.min("ts")).alias("first_epoch"),
-        F.unix_timestamp(F.max("ts")).alias("last_epoch"),
+        _epoch(F.min("ts")).alias("first_epoch"),
+        _epoch(F.max("ts")).alias("last_epoch"),
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_end"),
         F.countDistinct("event_type").alias("n_event_types"),
     )
@@ -321,7 +329,7 @@ def q_sessionize(spark, sf_dir):
     from pyspark.sql import Window as W
 
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
+        "user_id", "event_id", _epoch("ts").alias("ep")
     )
     w = W.partitionBy("user_id").orderBy("ep", "event_id")
     gap = F.col("ep") - F.lag("ep").over(w)
