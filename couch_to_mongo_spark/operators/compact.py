@@ -53,6 +53,10 @@ def compact(
     new_files = table.write_bucketed(
         df, snapshot_hint=f"c{snap.version + 1:08d}", n_buckets=snap.n_buckets
     )
+    # rewrite-files commit: replace exactly the files we folded; delta files
+    # appended by a concurrent merge since `snap` survive the rewrite (the
+    # commit rebases on CommitConflict) — Iceberg's RewriteFiles semantics.
+    replaced = {f for b in buckets for f in snap.files.get(str(b), [])}
     table.commit(
         new_files,
         buckets,
@@ -62,5 +66,7 @@ def compact(
             "files_before": before,
             "purged_tombstones": purge_tombstones,
         },
+        replaced_files=replaced,
+        base_version=snap.version,
     )
     return before

@@ -174,14 +174,14 @@ def merge_batch(
             new_rows, snapshot_hint=f"s{snap.version + 1:08d}", n_buckets=n_buckets
         )
         touched = sorted(delta.keys())
-        merged = {bkt: snap.files.get(str(bkt), []) + fl for bkt, fl in delta.items()}
         result = MergeResult(skipped=False, touched_buckets=len(touched))
-        rows, mn, mx = _footer_seq_stats(table, merged, snap)
+        rows, mn, mx = _footer_seq_stats(table, delta)
         result.rows_applied = rows
         result.seq_min, result.seq_max = mn, mx
+        # append commit: rebases automatically under concurrent writers
         new_snap = table.commit(
-            merged, touched, result.to_lineage(), new_schema=evolved,
-            run_id=run_id, batch_id=batch_id,
+            delta, touched, result.to_lineage(), new_schema=evolved,
+            run_id=run_id, batch_id=batch_id, append=True,
         )
         result.snapshot_id = new_snap.snapshot_id
         return result
@@ -247,16 +247,12 @@ def merge_batch(
         new_files = table.write_bucketed(
             new_rows, snapshot_hint=f"s{snap.version + 1:08d}", n_buckets=n_buckets
         )
-        if mode == "mor":
-            new_files = {
-                bkt: snap.files.get(str(bkt), []) + fl for bkt, fl in new_files.items()
-            }
 
         result = MergeResult(skipped=False, touched_buckets=len(touched))
         if stats_row is None:
             # free lineage from parquet footers of the files just written:
             # rows + min/max _seq, no extra Spark job
-            rows, mn, mx = _footer_seq_stats(table, new_files, snap if mode == "mor" else None)
+            rows, mn, mx = _footer_seq_stats(table, new_files)
             result.rows_applied = rows
             result.seq_min = raw_range["mn"] if raw_range is not None else mn
             result.seq_max = raw_range["mx"] if raw_range is not None else mx
@@ -276,6 +272,11 @@ def merge_batch(
             new_schema=evolved,
             run_id=run_id,
             batch_id=batch_id,
+            # MOR appends deltas (always rebaseable); COW replaces the
+            # touched buckets it rewrote from `snap` (conflicts if a
+            # concurrent commit touched them since).
+            append=(mode == "mor"),
+            base_version=None if mode == "mor" else snap.version,
         )
         result.snapshot_id = new_snap.snapshot_id
         return result
@@ -304,21 +305,16 @@ def read_state(
     return df.drop(*[c for c in ENGINE_COLS if c in df.columns])
 
 
-def _footer_seq_stats(table, new_files, prev_snap=None):
+def _footer_seq_stats(table, new_files):
     """rows + min/max(_seq) of the freshly written delta files, read from
     parquet footers (metadata-only I/O)."""
     import os as _os
 
     import pyarrow.parquet as _pq
 
-    prev = set()
-    if prev_snap is not None:
-        prev = {f for fl in prev_snap.files.values() for f in fl}
     rows, mn, mx = 0, None, None
     for fl in new_files.values():
         for f in fl:
-            if f in prev:
-                continue
             md = _pq.read_metadata(_os.path.join(table.path, f))
             rows += md.num_rows
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}

@@ -17,8 +17,11 @@ from pyspark.sql import types as T
 def evolve_schema(table_schema: T.StructType, batch_schema: T.StructType) -> T.StructType:
     """Union of table schema and batch schema; new columns appended nullable.
 
-    Existing columns keep the table's type (no type mutation — a type
-    conflict raises, mirroring Iceberg's safe-evolution rules).
+    Type rules (Iceberg's safe-evolution set): a batch column narrower than
+    the table's keeps the table type (upcast on align); a batch column
+    STRICTLY WIDER (int->long, float->double, int/long->double) widens the
+    table column — mid-stream type widening in the feed evolves the table
+    instead of failing. Anything else raises.
     """
     fields = list(table_schema.fields)
     names = {f.name for f in fields}
@@ -30,12 +33,17 @@ def evolve_schema(table_schema: T.StructType, batch_schema: T.StructType) -> T.S
                 fields.append(T.StructField(bf.name, T.StringType(), True))
             continue
         if bf.name in names:
-            tf = next(f for f in fields if f.name == bf.name)
-            if tf.dataType != bf.dataType and not _promotable(bf.dataType, tf.dataType):
-                raise TypeError(
-                    f"incompatible evolution for column {bf.name}: "
-                    f"{tf.dataType.simpleString()} vs {bf.dataType.simpleString()}"
-                )
+            i, tf = next((i, f) for i, f in enumerate(fields) if f.name == bf.name)
+            if tf.dataType == bf.dataType or _promotable(bf.dataType, tf.dataType):
+                continue  # equal, or batch narrower: table type wins
+            if _promotable(tf.dataType, bf.dataType):
+                # batch is wider: widen the table column
+                fields[i] = T.StructField(tf.name, bf.dataType, True)
+                continue
+            raise TypeError(
+                f"incompatible evolution for column {bf.name}: "
+                f"{tf.dataType.simpleString()} vs {bf.dataType.simpleString()}"
+            )
         else:
             fields.append(T.StructField(bf.name, bf.dataType, True))
     return T.StructType(fields)

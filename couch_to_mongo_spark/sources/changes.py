@@ -33,11 +33,46 @@ def _spark_type(arrow_type) -> T.DataType:
     return dt
 
 
+# numeric widening lattice: a feed that starts int and later carries long
+# (or double) widens the inferred column instead of failing in from_json /
+# align. Mirrors Iceberg's safe type-promotion rules.
+_WIDEN_RANK: dict[type, int] = {
+    T.IntegerType: 1,
+    T.LongType: 2,
+    T.FloatType: 3,
+    T.DoubleType: 4,
+}
+
+
+def widen_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The wider of two types if they sit on the widening lattice, the
+    common type if equal, else None (incompatible)."""
+    if a == b:
+        return a
+    ra, rb = _WIDEN_RANK.get(type(a)), _WIDEN_RANK.get(type(b))
+    if ra is None or rb is None:
+        return None
+    # float is NOT a widening of long (precision loss) — only int->long,
+    # int/long/float->double, int->float? no: keep the conservative set
+    wide, narrow = (a, b) if ra > rb else (b, a)
+    allowed = {
+        (T.LongType, T.IntegerType),
+        (T.DoubleType, T.IntegerType),
+        (T.DoubleType, T.LongType),
+        (T.DoubleType, T.FloatType),
+    }
+    if (type(wide), type(narrow)) in allowed:
+        return wide
+    return None
+
+
 def infer_feed_schema(changes_dir: str, sample_limit: int | None = None) -> T.StructType:
     """Union schema across all change files (footer metadata only).
 
     New columns appended in file order — the evolved schema lists columns
-    in the order they first appeared in the feed.
+    in the order they first appeared in the feed. Numeric type conflicts
+    resolve to the wider type (int -> long -> double); incompatible
+    conflicts raise.
     """
     files = sorted(glob.glob(os.path.join(changes_dir, "*.parquet")))
     if sample_limit:
@@ -50,19 +85,55 @@ def infer_feed_schema(changes_dir: str, sample_limit: int | None = None) -> T.St
     for f in files:
         sch = pq.read_schema(f)
         for name, atype in zip(sch.names, sch.types):
+            st = _spark_type(atype)
             if name not in fields:
-                fields[name] = T.StructField(name, _spark_type(atype), True)
+                fields[name] = T.StructField(name, st, True)
                 order.append(name)
+            elif fields[name].dataType != st:
+                w = widen_type(fields[name].dataType, st)
+                if w is None:
+                    raise TypeError(
+                        f"incompatible feed types for column {name}: "
+                        f"{fields[name].dataType.simpleString()} vs {st.simpleString()} in {f}"
+                    )
+                fields[name] = T.StructField(name, w, True)
     if not fields:
         raise FileNotFoundError(f"no change files in {changes_dir}")
     return T.StructType([fields[n] for n in order])
 
 
+def feed_schema_drift(
+    paths: list[str], known: T.StructType
+) -> tuple[list[str], list[str]]:
+    """Schema drift of a batch's input files vs the stream's known schema,
+    in ONE footer pass over all files (no per-file driver round-trips).
+
+    Returns (new_columns, widened_columns): columns absent from `known`,
+    and columns whose file type is strictly wider than the known type
+    (e.g. int32 -> int64 mid-stream). Either is drift — the stream must
+    restart with a re-inferred schema or rows would be silently corrupted
+    by the narrower read schema.
+    """
+    known_types = {f.name: f.dataType for f in known.fields}
+    new_cols: set[str] = set()
+    widened: set[str] = set()
+    for path in paths:
+        sch = pq.read_schema(path)
+        for name, atype in zip(sch.names, sch.types):
+            kt = known_types.get(name)
+            if kt is None:
+                new_cols.add(name)
+                continue
+            st = _spark_type(atype)
+            if st != kt and widen_type(kt, st) == st:
+                widened.add(name)
+    return sorted(new_cols), sorted(widened)
+
+
 def file_schema_extra_columns(path: str, known: T.StructType) -> list[str]:
-    """Columns present in a change file but missing from `known` — the
-    schema-drift detector used inside foreachBatch."""
-    names = set(pq.read_schema(path).names)
-    return sorted(names - {f.name for f in known.fields})
+    """Columns present in a change file but missing from `known` — kept for
+    back-compat; :func:`feed_schema_drift` also detects type widening."""
+    return feed_schema_drift([path], known)[0]
 
 
 def read_changes_batch(

@@ -88,9 +88,17 @@ class DeadLetterLog:
         os.makedirs(self.path, exist_ok=True)
 
     def append(self, dead: DataFrame, run_id: str, batch_id: int) -> int:
+        import uuid
+
         rows = dead.count()
         if rows:
-            out = os.path.join(self.path, f"dead-{run_id}-{batch_id:08d}")
+            # uuid suffix: a crash-replayed batch re-appends to a fresh dir
+            # instead of failing on the deterministic path (audit table —
+            # duplicate quarantine rows are harmless and self-identifying
+            # via (run_id, batch_id))
+            out = os.path.join(
+                self.path, f"dead-{run_id}-{batch_id:08d}-{uuid.uuid4().hex[:8]}"
+            )
             dead.withColumn("run_id", F.lit(run_id)).withColumn(
                 "batch_id", F.lit(batch_id)
             ).coalesce(1).write.mode("errorifexists").parquet(out)

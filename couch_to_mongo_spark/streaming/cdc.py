@@ -39,7 +39,7 @@ from couch_to_mongo_spark.functions.normalize import normalize_text
 from couch_to_mongo_spark.operators.merge import merge_batch, with_engine_schema
 from couch_to_mongo_spark.schemas import TRANSCRIPT_SCHEMA
 from couch_to_mongo_spark.sources.changes import (
-    file_schema_extra_columns,
+    feed_schema_drift,
     infer_feed_schema,
     read_changes_stream,
 )
@@ -48,9 +48,12 @@ from couch_to_mongo_spark.tableformat import LakeTable
 
 
 class SchemaDrift(Exception):
-    def __init__(self, new_columns: list[str]):
-        super().__init__(f"schema drift: new columns {new_columns}")
+    def __init__(self, new_columns: list[str], widened_columns: list[str] | None = None):
         self.new_columns = new_columns
+        self.widened_columns = widened_columns or []
+        super().__init__(
+            f"schema drift: new columns {new_columns}, widened {self.widened_columns}"
+        )
 
 
 def _pin_run_id(checkpoint_dir: str) -> str:
@@ -83,6 +86,7 @@ class CdcPipeline:
         collect_stats: bool = True,
         mode: str = "mor",
         compact_threshold: int = 8,
+        compact_async: bool = True,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -96,7 +100,10 @@ class CdcPipeline:
         self.collect_stats = collect_stats
         self.mode = mode
         self.compact_threshold = compact_threshold
+        self.compact_async = compact_async
         self.compactions = 0
+        self._compact_thread = None
+        self._compact_error: BaseException | None = None
 
         self.run_id = _pin_run_id(checkpoint_dir)
         self.table = self._ensure_table()
@@ -120,15 +127,16 @@ class CdcPipeline:
     # ---------------- foreachBatch body ----------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        # schema drift fence BEFORE any commit: footer check on input files
+        # schema drift fence BEFORE any commit: ONE footer pass over the
+        # batch's input files detects both new columns and type widening
+        # (int->long mid-stream) — either restarts the stream with a
+        # re-inferred schema
         if self.feed_schema is not None:
-            for f in batch_df.inputFiles():
-                extra = file_schema_extra_columns(
-                    f.removeprefix("file:"), self.feed_schema
-                )
-                if extra:
-                    self.drift_error = SchemaDrift(extra)
-                    raise self.drift_error
+            paths = self._batch_input_files(batch_df, batch_id)
+            new_cols, widened = feed_schema_drift(paths, self.feed_schema)
+            if new_cols or widened:
+                self.drift_error = SchemaDrift(new_cols, widened)
+                raise self.drift_error
 
         if self.since_seq is not None:
             batch_df = batch_df.where(F.col("seq") > F.lit(self.since_seq))
@@ -148,13 +156,13 @@ class CdcPipeline:
         )
         if res.skipped:
             self.batches_fenced += 1
+            # a crash between snapshot commit and lineage append loses the
+            # batch's lineage row; the fenced replay backfills it from the
+            # committed snapshot's lineage (which stores the MergeResult)
+            self._backfill_lineage(batch_id)
             return
         self.batches_applied += 1
-        if self.mode == "mor" and self.compact_threshold:
-            from couch_to_mongo_spark.operators.compact import compact
-
-            if compact(self.table, max_files_per_bucket=self.compact_threshold):
-                self.compactions += 1
+        self._maybe_compact()
         self.lineage.append(
             self.run_id,
             batch_id,
@@ -166,6 +174,98 @@ class CdcPipeline:
             n_deletes=res.n_deletes,
             snapshot_id=res.snapshot_id,
             partition_stats={"touched_buckets": res.touched_buckets},
+        )
+
+    def _batch_input_files(self, batch_df: DataFrame, batch_id: int) -> list[str]:
+        """The micro-batch's input files. Primary source: the file-stream
+        source's per-batch log in the checkpoint (``sources/0/<batchId>``,
+        one JSON entry per file) — trigger-independent, metadata-only.
+        ``batch_df.inputFiles()`` is only a fallback: it returns [] under
+        the processingTime trigger."""
+        import json as _json
+
+        src_dir = os.path.join(self.checkpoint_dir, "sources", "0")
+        log = os.path.join(src_dir, str(batch_id))
+        if not os.path.exists(log):
+            # the source log compacts every N batches: batch N's entries
+            # live in "N.compact" together with all prior ones (tagged by
+            # their original batchId)
+            log = os.path.join(src_dir, f"{batch_id}.compact")
+        paths: list[str] = []
+        if os.path.exists(log):
+            with open(log) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line.startswith("{"):
+                        e = _json.loads(line)
+                        if e.get("batchId") == batch_id and e.get("path"):
+                            paths.append(
+                                e["path"].removeprefix("file://").removeprefix("file:")
+                            )
+        if not paths:
+            paths = [f.removeprefix("file:") for f in batch_df.inputFiles()]
+        return paths
+
+    # ---------------- maintenance ----------------
+
+    def _maybe_compact(self) -> None:
+        """Compaction off the hot path: by default runs in a daemon thread
+        so the micro-batch latency never pays the bucket rewrite (round-1
+        ran it inline — a compaction outliving the trigger interval stalls
+        the stream). The rewrite-files commit rebases under concurrent
+        merges, so the racing thread is safe; at most one compaction runs
+        at a time."""
+        if self.mode != "mor" or not self.compact_threshold:
+            return
+        if not self.compact_async:
+            from couch_to_mongo_spark.operators.compact import compact
+
+            if compact(self.table, max_files_per_bucket=self.compact_threshold):
+                self.compactions += 1
+            return
+        if self._compact_thread is not None and self._compact_thread.is_alive():
+            return
+        import threading
+
+        from couch_to_mongo_spark.operators.compact import compact
+
+        def run():
+            try:
+                if compact(self.table, max_files_per_bucket=self.compact_threshold):
+                    self.compactions += 1
+            except BaseException as e:  # surfaced on join
+                self._compact_error = e
+
+        self._compact_thread = threading.Thread(target=run, daemon=True, name="c2m-compact")
+        self._compact_thread.start()
+
+    def finish_maintenance(self) -> None:
+        """Join any in-flight async compaction (call after a run drains)."""
+        if self._compact_thread is not None:
+            self._compact_thread.join()
+            self._compact_thread = None
+        if self._compact_error is not None:
+            err, self._compact_error = self._compact_error, None
+            raise err
+
+    def _backfill_lineage(self, batch_id: int) -> None:
+        if self.lineage.has(self.run_id, batch_id):
+            return
+        sid = self.table.fence_snapshot_id(self.run_id, batch_id)
+        if sid is None:
+            return
+        lin = self.table.snapshot_by_id(sid).lineage
+        self.lineage.append(
+            self.run_id,
+            batch_id,
+            seq_min=lin.get("seq_min"),
+            seq_max=lin.get("seq_max"),
+            rows_applied=lin.get("rows_applied", 0),
+            n_inserts=lin.get("n_inserts", 0),
+            n_updates=lin.get("n_updates", 0),
+            n_deletes=lin.get("n_deletes", 0),
+            snapshot_id=sid,
+            partition_stats={"touched_buckets": lin.get("touched_buckets", 0), "backfilled": 1},
         )
 
     # ---------------- drivers ----------------
@@ -190,6 +290,7 @@ class CdcPipeline:
             )
             try:
                 q.awaitTermination()
+                self.finish_maintenance()
                 return self
             except Exception:
                 if self.drift_error is not None:
@@ -199,8 +300,13 @@ class CdcPipeline:
 
     def start_continuous(self, processing_time: str = "5 seconds"):
         """Long-running tail — the reference's forever-poll loop
-        (ChangeFeedClient.java:61-71) as a processingTime trigger."""
+        (ChangeFeedClient.java:61-71) as a processingTime trigger.
+
+        NOTE: a raw handle has no drift supervision — mid-tail feed
+        evolution terminates the query. Use :meth:`tail` for the
+        restart-on-drift loop."""
         self.feed_schema = infer_feed_schema(self.changes_dir)
+        self.drift_error = None
         stream = read_changes_stream(
             self.spark,
             self.changes_dir,
@@ -213,3 +319,38 @@ class CdcPipeline:
             .trigger(processingTime=processing_time)
             .start()
         )
+
+    def tail(
+        self,
+        processing_time: str = "5 seconds",
+        max_restarts: int = 10,
+        until: "callable | None" = None,
+        poll_seconds: float = 0.5,
+    ) -> "CdcPipeline":
+        """Supervised continuous tail: restart on schema drift with the
+        re-inferred (wider) schema — the same loop run_available uses, for
+        the long-running trigger. ``until(pipeline)`` (optional) stops the
+        tail cleanly when it returns True (tests / bounded runs); without
+        it the call blocks forever like the reference's poll loop."""
+        import time
+
+        for _ in range(max_restarts):
+            q = self.start_continuous(processing_time=processing_time)
+            try:
+                if until is None:
+                    q.awaitTermination()
+                else:
+                    while q.isActive and not until(self):
+                        time.sleep(poll_seconds)
+                    q.stop()
+                    q.awaitTermination()
+                if self.drift_error is not None:
+                    # drift killed the last batch before stop(): restart
+                    continue
+                self.finish_maintenance()
+                return self
+            except Exception:
+                if self.drift_error is not None:
+                    continue  # restart with re-inferred (wider) schema
+                raise
+        raise RuntimeError("too many schema-drift restarts")

@@ -75,6 +75,14 @@ class LineageLog:
         pdf.to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
         return p
 
+    def has(self, run_id: str, batch_id: int) -> bool:
+        """Fast existence probe by filename (no data read)."""
+        import glob
+
+        return bool(
+            glob.glob(os.path.join(self.path, f"lineage-{run_id}-{batch_id:08d}-*.parquet"))
+        )
+
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "*.parquet"))
 

@@ -60,7 +60,15 @@ class Snapshot:
     n_buckets: int
     files: dict[str, list[str]]  # bucket (str) -> relative file paths
     lineage: dict[str, Any] = field(default_factory=dict)
-    committed_batches: dict[str, int] = field(default_factory=dict)
+    # exactly-once fence, O(1) per run: run_id -> [max_batch_id, snapshot_id
+    # of that batch's commit]. Structured Streaming batch ids are monotonic
+    # per checkpoint (and run_id is pinned to the checkpoint), so a single
+    # high-water mark per run fences every replay — snapshot metadata stays
+    # O(runs), not O(total batches). (Round-1 design kept the full
+    # {run:batch -> snapshot} map, which serialized the entire commit
+    # history into every snapshot: O(B^2) metadata bytes over a long
+    # stream.)
+    fences: dict[str, list[int]] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -78,11 +86,19 @@ class Snapshot:
             "n_buckets": self.n_buckets,
             "files": self.files,
             "lineage": self.lineage,
-            "committed_batches": self.committed_batches,
+            "fences": self.fences,
         }
 
     @classmethod
     def from_json(cls, d: dict) -> "Snapshot":
+        fences = d.get("fences", {})
+        if not fences and d.get("committed_batches"):
+            # migrate round-1 layout ({run:batch -> snapshot_id}) on read
+            for k, sid in d["committed_batches"].items():
+                run, bid = k.rsplit(":", 1)
+                cur = fences.get(run)
+                if cur is None or int(bid) > cur[0]:
+                    fences[run] = [int(bid), sid]
         return cls(
             version=d["version"],
             snapshot_id=d["snapshot_id"],
@@ -91,7 +107,7 @@ class Snapshot:
             n_buckets=d["n_buckets"],
             files=d["files"],
             lineage=d.get("lineage", {}),
-            committed_batches=d.get("committed_batches", {}),
+            fences=fences,
         )
 
 
@@ -186,10 +202,6 @@ class LakeTable:
 
     # ---------------- fencing ----------------
 
-    @staticmethod
-    def batch_key(run_id: str, batch_id: int) -> str:
-        return f"{run_id}:{batch_id}"
-
     def is_batch_committed(self, run_id: str, batch_id: int) -> bool:
         """True iff this (run_id, batch_id) already has a committed snapshot.
 
@@ -197,10 +209,27 @@ class LakeTable:
         a batch after a crash between sink-write and offset-commit; the
         fence makes the replay a no-op. (Reference analogue: unfinished-
         session detection + id-skip, Mongo.java:422-466 / 93-102.)
+
+        Batch ids are monotonic per run (run_id is pinned to the streaming
+        checkpoint), so the check is against the per-run high-water mark.
         """
         if not self.exists():
             return False
-        return self.batch_key(run_id, batch_id) in self.snapshot().committed_batches
+        fence = self.snapshot().fences.get(run_id)
+        return fence is not None and batch_id <= fence[0]
+
+    def fence_snapshot_id(self, run_id: str, batch_id: int) -> int | None:
+        """Snapshot id that committed (run_id, batch_id), if it is the run's
+        high-water batch — used to backfill a lineage row lost to a crash
+        between snapshot commit and lineage append."""
+        fence = self.snapshot().fences.get(run_id)
+        if fence is not None and batch_id == fence[0]:
+            return fence[1]
+        return None
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        """Resolve a snapshot by its id (ids == versions by construction)."""
+        return self.snapshot(snapshot_id)
 
     # ---------------- read ----------------
 
@@ -244,29 +273,77 @@ class LakeTable:
         new_schema: T.StructType | None = None,
         run_id: str | None = None,
         batch_id: int | None = None,
+        append: bool = False,
+        replaced_files: set[str] | None = None,
+        base_version: int | None = None,
+        max_retries: int = 5,
     ) -> Snapshot:
-        """Publish a new snapshot: touched buckets get `new_files`, all other
-        buckets carry their previous file lists forward unchanged."""
-        prev = self.snapshot()
-        files = {b: fl for b, fl in prev.files.items() if int(b) not in set(touched_buckets)}
-        for b, fl in new_files.items():
-            if fl:
-                files[str(b)] = fl
-        committed = dict(prev.committed_batches)
-        if run_id is not None and batch_id is not None:
-            committed[self.batch_key(run_id, batch_id)] = prev.snapshot_id + 1
-        snap = Snapshot(
-            version=prev.version + 1,
-            snapshot_id=prev.snapshot_id + 1,
-            parent=prev.version,
-            schema_json=json.loads(new_schema.json()) if new_schema is not None else prev.schema_json,
-            n_buckets=prev.n_buckets,
-            files=files,
-            lineage=lineage,
-            committed_batches=committed,
-        )
-        self._write_snapshot(snap)
-        return snap
+        """Publish a new snapshot with optimistic-concurrency rebase.
+
+        Three write semantics (Iceberg's commit taxonomy in miniature):
+
+        - ``append=True`` (MOR delta append): touched buckets get
+          ``prev + new_files``. Always rebaseable — a concurrent commit just
+          changes the base we append onto, so on :class:`CommitConflict`
+          we re-read the latest snapshot and retry (bounded).
+        - ``replaced_files`` given (compaction / rewrite-files): touched
+          buckets become ``new_files + (prev - replaced_files)`` — files
+          appended by concurrent merges *after* our read survive the
+          rewrite. Also always rebaseable.
+        - neither (strict replace: bootstrap / COW merge): touched buckets
+          become exactly ``new_files``; rebase is only safe if no concurrent
+          commit modified a touched bucket since ``base_version`` — if one
+          did, its rows would be silently dropped, so we raise
+          :class:`CommitConflict` for the caller to re-run.
+        """
+        base = self.snapshot(base_version) if base_version is not None else self.snapshot()
+        touched = set(touched_buckets)
+        for attempt in range(max_retries + 1):
+            prev = self.snapshot()
+            files = {b: list(fl) for b, fl in prev.files.items() if int(b) not in touched}
+            for b in touched:
+                prev_fl = prev.files.get(str(b), [])
+                new_fl = new_files.get(b) or new_files.get(str(b)) or []
+                if append:
+                    fl = prev_fl + list(new_fl)
+                elif replaced_files is not None:
+                    fl = list(new_fl) + [f for f in prev_fl if f not in replaced_files]
+                else:
+                    if prev.version != base.version and prev_fl != base.files.get(str(b), []):
+                        raise CommitConflict(
+                            f"bucket {b} changed since v{base.version}; "
+                            "strict-replace commit cannot rebase"
+                        )
+                    fl = list(new_fl)
+                if fl:
+                    files[str(b)] = fl
+                else:
+                    files.pop(str(b), None)
+            fences = {r: list(v) for r, v in prev.fences.items()}
+            if run_id is not None and batch_id is not None:
+                cur = fences.get(run_id)
+                if cur is not None and batch_id <= cur[0]:
+                    raise CommitConflict(
+                        f"batch {run_id}:{batch_id} already fenced at {cur[0]}"
+                    )
+                fences[run_id] = [batch_id, prev.snapshot_id + 1]
+            snap = Snapshot(
+                version=prev.version + 1,
+                snapshot_id=prev.snapshot_id + 1,
+                parent=prev.version,
+                schema_json=json.loads(new_schema.json()) if new_schema is not None else prev.schema_json,
+                n_buckets=prev.n_buckets,
+                files=files,
+                lineage=lineage,
+                fences=fences,
+            )
+            try:
+                self._write_snapshot(snap)
+                return snap
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise CommitConflict("unreachable")  # pragma: no cover
 
     # ---------------- maintenance ----------------
 
@@ -296,16 +373,51 @@ class LakeTable:
                 live.add(f)  # only attempt once
         return {"files_deleted": deleted, "snapshots_expired": expired}
 
+    def gc_orphans(self, grace_seconds: float = 3600.0) -> list[str]:
+        """Delete staging dirs under data/ referenced by NO snapshot —
+        the residue of crashes between write_bucketed and commit. A dir is
+        kept if any of its files appears in any snapshot, or if it was
+        modified within ``grace_seconds`` (an in-flight concurrent write).
+        Returns the deleted dir names."""
+        import shutil
+        import time
+
+        live_dirs: set[str] = set()
+        for snap in self.history():
+            for f in snap.all_files():
+                # f is like "data/s00000002-ab12cd34/b3/part-....parquet"
+                parts = f.split(os.sep)
+                if len(parts) >= 2:
+                    live_dirs.add(parts[1])
+        deleted = []
+        now = time.time()
+        for entry in os.listdir(self.data_dir):
+            p = os.path.join(self.data_dir, entry)
+            if not os.path.isdir(p) or entry in live_dirs:
+                continue
+            if now - os.path.getmtime(p) < grace_seconds:
+                continue
+            shutil.rmtree(p)
+            deleted.append(entry)
+        return sorted(deleted)
+
     def write_bucketed(
         self, df: DataFrame, snapshot_hint: str, n_buckets: int, bucket_col: str = BUCKET_COL
     ) -> dict[int, list[str]]:
-        """Write df as per-bucket parquet under data/<snapshot_hint>/ and
-        return {bucket: [relative paths]}.
+        """Write df as per-bucket parquet under data/<snapshot_hint>-<uuid>/
+        and return {bucket: [relative paths]}.
 
         Uses partitionBy(bucket) so each Spark task streams into its bucket
         directory — one shuffle (the repartition upstream), parallel write.
+
+        The staging dir is uuid-suffixed so a crash between write and
+        snapshot commit never poisons the replay: the fenced re-run stages
+        to a fresh dir instead of hitting PATH_ALREADY_EXISTS on the
+        deterministic one, and concurrent writers targeting the same next
+        version can never collide on disk. Orphaned staging dirs (written
+        but never committed) are reclaimed by :meth:`gc_orphans`.
         """
-        out = os.path.join(self.data_dir, snapshot_hint)
+        out = os.path.join(self.data_dir, f"{snapshot_hint}-{uuid.uuid4().hex[:8]}")
         (df.write.mode("errorifexists").partitionBy(bucket_col).parquet(out))
         # Rename `_bucket=N` -> `bN` so later multi-file reads never trigger
         # Spark's partition-column inference (which would append _bucket to

@@ -135,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
                     "version": snap.version,
                     "n_files": len(snap.all_files()),
                     "live_rows": read_state(table).count(),
-                    "committed_batches": len(snap.committed_batches),
+                    "fenced_runs": {r: v[0] for r, v in snap.fences.items()},
                 }
             )
         )

@@ -71,13 +71,42 @@ def test_fencing_replay_is_noop(spark, tmp_table_path):
 
 
 def test_out_of_order_batches_converge(spark, tmp_table_path):
-    """Order-insensitivity: applying the later half first converges anyway."""
+    """Order-insensitivity: applying the later seq half first converges
+    anyway. Batch ids stay monotonic (the fence contract — Structured
+    Streaming never emits them out of order); the out-of-order-ness under
+    test is the *content* (seq ranges), which LWW resolves."""
     pdf = make_changes_df(n_events=2000, n_convs=30, seed=5, delete_frac=0.0)
     b1, b2 = pdf[pdf.seq < 1000], pdf[pdf.seq >= 1000]
-    table, _ = apply_one_batch(spark, tmp_table_path, b2, batch_id=1)
+    table, _ = apply_one_batch(spark, tmp_table_path, b2, batch_id=0)
     batch1 = spark_changes(spark, b1).withColumn("text", normalize_text(F.col("text")))
-    merge_batch(table, batch1, run_id="r1", batch_id=0)
+    merge_batch(table, batch1, run_id="r1", batch_id=1)
     assert_state_parity(read_state(table).toPandas(), expected_state(pdf))
+
+
+def test_fence_is_per_run_high_water(spark, tmp_table_path):
+    """The fence is O(1) per run: a high-water mark, not a per-batch map.
+    Replaying any batch id <= the high-water is a no-op; snapshot metadata
+    size stays constant as batches accumulate (VERDICT r01 wrong-#1)."""
+    import json as _json
+    import os as _os
+
+    pdf = make_changes_df(n_events=500, n_convs=10, seed=21)
+    table, _ = apply_one_batch(spark, tmp_table_path, pdf, batch_id=7)
+    # lower-numbered batch ids are fenced without their own map entries
+    assert table.is_batch_committed("r1", 3)
+    assert table.is_batch_committed("r1", 7)
+    assert not table.is_batch_committed("r1", 8)
+    assert not table.is_batch_committed("other-run", 0)
+    # metadata stays O(1): simulate 200 more fence-only commits and check
+    # the snapshot JSON does not grow with batch count
+    for i in range(8, 208):
+        table.commit({}, [], {"op": "noop"}, run_id="r1", batch_id=i, append=True)
+    sz = lambda v: _os.path.getsize(
+        _os.path.join(table.snap_dir, f"v{v:08d}.json")
+    )
+    first, last = sz(2), sz(table.latest_version())
+    assert last <= first + 32  # constant modulo batch-id digit growth
+    assert table.snapshot().fences == {"r1": [207, table.snapshot().snapshot_id]}
 
 
 def test_deletes_produce_tombstones(spark, tmp_table_path):
