@@ -52,6 +52,10 @@ def _H(s: str) -> str:  # hash15
     return f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
 
 
+def _H32(s: str) -> str:  # hash32 (minhash content hash)
+    return f"CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
+
+
 def _NORM(t: str) -> str:
     return (
         f"trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9 ]', '', 'g'),"
@@ -256,13 +260,15 @@ SQL_COUNT = "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events"
 
 def _derive_changes(ev: DataFrame) -> DataFrame:
     """Deterministic change-feed derivation from the events table
-    (event_id≈seq, user_id≈conv) — FIXTURES.md §5."""
+    (event_id≈seq, user_id≈conv) — FIXTURES.md §5. Text embeds messy
+    whitespace (double space + trailing spaces) so the engine-path oracle
+    exercises the normalizer, not just the fold."""
     return ev.select(
         F.col("event_id").alias("seq"),
         F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("u")).alias("op"),
         F.concat(F.lit("conv-"), F.lpad((F.col("user_id") % 50).cast("string"), 6, "0")).alias("conv_id"),
         (F.col("event_id") % 20).cast("int").alias("turn_idx"),
-        F.concat(F.col("event_type"), F.lit(":"), (F.col("event_id") % 997).cast("string")).alias("text"),
+        F.concat(F.col("event_type"), F.lit(":  "), (F.col("event_id") % 997).cast("string"), F.lit("  ")).alias("text"),
     )
 
 
@@ -271,7 +277,7 @@ SELECT event_id AS seq,
        CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
        'conv-' || lpad(CAST(user_id % 50 AS VARCHAR), 6, '0') AS conv_id,
        CAST(event_id % 20 AS INTEGER) AS turn_idx,
-       event_type || ':' || CAST(event_id % 997 AS VARCHAR) AS text
+       event_type || ':  ' || CAST(event_id % 997 AS VARCHAR) || '  ' AS text
 FROM events
 """
 
@@ -499,9 +505,11 @@ def q_minhash_lsh(spark, sf_dir):
     return X.lsh_band_buckets(_t(spark, sf_dir, "documents"), k=8, bands=4)
 
 
+# affine-permutation MinHash: one md5 per shingle, k permutations — exact
+# twin of functions/text.py minhash_signature_df (constants shared)
 _MH_COLS = ", ".join(
-    "list_min(list_transform(sl, s -> " + _H(f"'p{i}:' || s") + f")) AS mh{i}"
-    for i in range(8)
+    f"list_min(list_transform(sl, s -> ({a} * {_H32('s')} + {b}) % {X.MINHASH_P})) AS mh{i}"
+    for i, (a, b) in enumerate(X.minhash_perms(8))
 )
 
 SQL_MINHASH_LSH = f"""
@@ -533,6 +541,30 @@ SELECT id_a, id_b, n_common,
        ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+"""
+
+
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """Jaccard with the hot-shingle doc-frequency cutoff (the 100 TB skew
+    guard): shingles in > max_doc_freq docs leave the inverted index before
+    the self-join; Jaccard is exact over the filtered shingle universe."""
+    return X.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.4, max_doc_freq=20
+    )
+
+
+SQL_JACCARD_CAPPED = f"""
+WITH docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
+sh0 AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s FROM docs),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 20),
+sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, n_common,
+       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.4
 """
 
 
@@ -701,8 +733,15 @@ FROM h
 # ---------------------------------------------------------------------------
 
 def q_engine_replay(spark, sf_dir):
-    """Full engine: derived change feed → bucketed MERGE replay → final state.
-    No oracle entry (streaming + table format); rows-only check."""
+    """Full engine path, oracle-checked: derived change feed → two bucketed
+    MOR MERGE batches with the Arrow-pandas_udf text normalizer → a
+    compaction between them (rewrite-files) → LWW read with tombstone
+    elimination. The DuckDB oracle (SQL_ENGINE_REPLAY) folds the same feed
+    and applies a SQL twin of the normalizer — hash-level equality proves
+    the *engine* (table format + MOR + compaction + normalize), not just
+    the dedup kernel."""
+    from couch_to_mongo_spark.functions.normalize import normalize_text
+    from couch_to_mongo_spark.operators.compact import compact
     from couch_to_mongo_spark.operators.merge import merge_batch, read_state, with_engine_schema
     from couch_to_mongo_spark.tableformat import LakeTable
     from pyspark.sql import types as T
@@ -715,11 +754,25 @@ def q_engine_replay(spark, sf_dir):
     table = LakeTable.create(
         spark, os.path.join(work, "tbl"), with_engine_schema(payload), n_buckets=8
     )
+    norm = lambda df: df.withColumn("text", normalize_text(F.col("text")))
     n = ch.agg(F.max("seq")).first()[0] or 0
     half = n // 2
-    merge_batch(table, ch.where(F.col("seq") <= half), run_id="entry", batch_id=0, collect_stats=False)
-    merge_batch(table, ch.where(F.col("seq") > half), run_id="entry", batch_id=1, collect_stats=False)
+    merge_batch(table, ch.where(F.col("seq") <= half), run_id="entry", batch_id=0,
+                collect_stats=False, transform_after_dedup=norm)
+    compact(table, max_files_per_bucket=0)  # fold every bucket mid-replay
+    merge_batch(table, ch.where(F.col("seq") > half), run_id="entry", batch_id=1,
+                collect_stats=False, transform_after_dedup=norm)
     return read_state(table).select("conv_id", "turn_idx", "text")
+
+
+SQL_ENGINE_REPLAY = f"""
+WITH ch AS ({SQL_DERIVE}),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) rn
+           FROM ch)
+SELECT conv_id, turn_idx,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+FROM ranked WHERE rn = 1 AND op <> 'd'
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -751,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "minhash_lsh_buckets": q_minhash_lsh,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
@@ -787,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FP,
         "minhash_lsh_buckets": SQL_MINHASH_LSH,
         "ngram_jaccard_pairs": SQL_JACCARD,
+        "ngram_jaccard_capped": SQL_JACCARD_CAPPED,
         "simhash": SQL_SIMHASH,
         "lang_id": SQL_LANG,
         "quality_score": SQL_QUALITY,
@@ -795,5 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_cosine": SQL_NEARDUP,
         "lsh_ann_buckets": SQL_LSH_ANN,
         "multimodal_decode": SQL_MULTIMODAL,
-        # engine_replay: intentionally no oracle (streaming+table format)
+        # round 2: the full engine path is oracle-checked too — final MOR
+        # state after merge+compaction+tombstones IS SQL-expressible
+        "engine_replay": SQL_ENGINE_REPLAY,
     }

@@ -27,6 +27,37 @@ def hash15(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def hash32(col: Column) -> Column:
+    """Deterministic 32-bit integer hash (md5 prefix) — small enough that
+    affine permutations ``(a*h + b) % MINHASH_P`` stay inside int64 in
+    both Spark and DuckDB (a < 2^29, h < 2^32 => a*h+b < 2^62)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# MinHash permutation family: ONE content hash per shingle, k affine
+# permutations over it. Round 1 hashed the full shingle text k times
+# (md5 x k dominated the whole query bench at sf0.1); the affine family is
+# the standard construction and keeps the DuckDB oracle exact.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_MINHASH_SEED_CONSTANTS = [
+    # (a, b) pairs, fixed literals so Spark exprs and oracle SQL agree
+    (238292573, 1126717823), (413968929, 510549558),
+    (292839109, 1814528019), (73249021, 334594951),
+    (483904261, 1044083681), (152947673, 70638419),
+    (333868421, 1963553771), (56509297, 1349261063),
+    (421866313, 882582091), (247121813, 1511775383),
+    (104070341, 1991727713), (379343429, 253804291),
+    (193904509, 1678062209), (528442237, 930811577),
+    (66089921, 1227034861), (450087193, 404175803),
+]
+
+
+def minhash_perms(k: int) -> list[tuple[int, int]]:
+    if k > len(_MINHASH_SEED_CONSTANTS):
+        raise ValueError(f"k={k} > {len(_MINHASH_SEED_CONSTANTS)} fixed permutations")
+    return _MINHASH_SEED_CONSTANTS[:k]
+
+
 def norm_text(col: Column) -> Column:
     """lower + strip non-alnum + collapse/trim whitespace."""
     return F.trim(
@@ -47,22 +78,49 @@ def fingerprint(col: Column) -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """n-token shingles as strings (space-joined windows)."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    """n-token shingles as strings (space-joined windows).
+
+    PERF WARNING: higher-order functions evaluate interpretively, and an
+    unbound subexpression inside the lambda (here the tokenize-regex chain)
+    is RE-EVALUATED per array element — measured 16 s for 260k shingles at
+    sf0.1 vs 0.9 s when the token array is materialized first. DataFrame
+    operators must use :func:`shingles_from_tokens` over a projected token
+    column; this scalar form is for expression-level composition on tiny
+    inputs only."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def shingles_from_tokens(tk: Column, n: int = 3) -> Column:
+    """n-token shingles from an ALREADY-MATERIALIZED token array column.
+    Bind `tk` via a prior ``select(tokens(...).alias("_tk"))`` so the
+    lambda reads the array instead of re-tokenizing per element."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+
+
+def exploded_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows: tokenize once per doc (materialized projection),
+    then explode the shingle windows — the shared scale-path front end of
+    the MinHash / Jaccard family."""
+    d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    return d.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("_sh"),
     )
 
 
 def minhash_signature(col: Column, k: int = 8) -> list[Column]:
-    """k MinHash values: min over shingles of hash15(perm_id || shingle)."""
+    """k MinHash values (scalar-expression form, for toy inputs — see
+    :func:`minhash_signature_df` for why the explode shape is the real
+    path): min over shingles of the i-th affine permutation of hash32."""
     sh = shingles(col)
     return [
         F.array_min(
-            F.transform(sh, lambda s: hash15(F.concat(F.lit(f"p{i}:"), s)))
+            F.transform(sh, lambda s: (F.lit(a) * hash32(s) + F.lit(b)) % F.lit(MINHASH_P))
         ).alias(f"mh{i}")
-        for i in range(k)
+        for i, (a, b) in enumerate(minhash_perms(k))
     ]
 
 
@@ -139,13 +197,23 @@ def minhash_signature_df(
     evaluate interpretively (~200ms/row); the explode shape computes
     shingles once, keeps every hash in codegen, and aggregates with
     primitive-buffer min() — linear and shuffle-light (k longs per doc).
+
+    Each shingle is md5-hashed ONCE (hash32) and the k signature values
+    are affine permutations ``(a_i*h + b_i) % MINHASH_P`` — k-1 fewer
+    full-text hashes per shingle than the round-1 form, which was the
+    single most expensive expression in the whole query bench.
     """
-    ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("_sh"))
+    ex = exploded_shingles(df, text_col, id_col)
+    # materialize the content hash in its own projection so the md5 is
+    # computed exactly once per shingle (not relying on CSE across the k
+    # permutation expressions)
+    ex = ex.select(F.col(id_col), hash32(F.col("_sh")).alias("_h"))
+    h = F.col("_h")
     hashed = ex.select(
         F.col(id_col),
         *[
-            hash15(F.concat(F.lit(f"p{i}:"), F.col("_sh"))).alias(f"_h{i}")
-            for i in range(k)
+            ((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_h{i}")
+            for i, (a, b) in enumerate(minhash_perms(k))
         ],
     )
     return hashed.groupBy(id_col).agg(
@@ -183,16 +251,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard >= threshold.
 
     Inverted-index plan: explode distinct shingles -> self-join on shingle
     (co-occurrence counts |A∩B|) -> join per-doc sizes -> Jaccard. Shuffle
-    is on shingle (fine-grained; hot shingles are the skew risk — bounded
-    because shingles are near-unique at n>=3)."""
-    sh = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"))
+    is on shingle (fine-grained; hot shingles are the skew risk).
+
+    ``max_doc_freq``: the 100 TB skew guard — shingles occurring in more
+    than this many documents are dropped from the index BEFORE the
+    self-join (a df-cap shingle would contribute O(df^2) join rows; e.g. a
+    boilerplate header shared by 10^6 docs would alone produce 10^12
+    candidate pairs). Jaccard is then computed over the filtered shingle
+    universe (both intersection and sizes), keeping the semantics exact
+    and oracle-expressible w.r.t. that universe."""
+    d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    sh = d.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("_tk"), n))
+        ).alias("sh"),
     )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("sh")
+        )
+        # hot set is tiny by construction (only ultra-frequent shingles):
+        # broadcast anti-join, no extra shuffle of the index
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -221,16 +311,19 @@ def ngram_jaccard_pairs(
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Length / punctuation / stopword / digit features + composite score."""
+    """Length / punctuation / stopword / digit features + composite score.
+    Token array materialized before the stopword-filter HOF (see
+    :func:`shingles` perf warning)."""
+    d = df.select(F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_tk"))
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = F.col("_tk")
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
     n_chars = F.length(t)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
     n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
-    return df.select(
+    return d.select(
         F.col(id_col),
         n_chars.alias("n_chars_m"),
         n_tok.alias("n_tokens"),
@@ -254,19 +347,15 @@ LANG_MARKERS = {
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language heuristic; deterministic tie-break by fixed
-    language order (en > de > fr > es > unknown)."""
-    toks = tokens(F.col(text_col))
+    language order (en > de > fr > es > unknown). Token array materialized
+    before the 4 marker-filter HOFs (see :func:`shingles` perf warning)."""
+    d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    toks = F.col("_tk")
     scores = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
         scores[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
-    pred = F.lit("unknown")
-    # build reversed so earlier langs win ties via > (strict) chain
-    best = F.lit(-1)
-    for lang in ["es", "fr", "de", "en"]:
-        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
-        best = F.greatest(scores[lang], best)
-    out = df.select(
+    out = d.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
     )

@@ -169,7 +169,16 @@ def merge_batch(
             BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
         )
         n_parts = n_buckets * max(files_per_bucket, 1)
-        new_rows = new_rows.repartition(n_parts, F.col(BUCKET_COL))
+        if files_per_bucket > 1:
+            # salt must be in the partitioning keys or every bucket hashes
+            # to one partition regardless of n_parts (hot buckets unsplit)
+            new_rows = new_rows.repartition(
+                n_parts,
+                F.col(BUCKET_COL),
+                F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(files_per_bucket)),
+            )
+        else:
+            new_rows = new_rows.repartition(n_parts, F.col(BUCKET_COL))
         delta = table.write_bucketed(
             new_rows, snapshot_hint=f"s{snap.version + 1:08d}", n_buckets=n_buckets
         )
@@ -201,13 +210,20 @@ def merge_batch(
 
         stats_row = None
         if collect_stats:
-            # one-pass classification of batch rows against existing live keys
-            # distinct: MOR buckets hold multiple versions per key; without
-            # it the classification join would multiply batch rows
+            # one-pass classification of batch rows against existing live
+            # keys. Live = the LWW-RESOLVED winner is non-deleted (not "any
+            # version non-deleted"): after delete-then-reinsert the reinsert
+            # must classify as an insert, and a delete of an already-
+            # tombstoned key must not count as a delete.
+            ex = with_rev_gen(existing, rev_col=REV_COL)
+            ex = lww_dedup(
+                ex.select(*key_cols, SEQ_COL, "rev_gen", REV_COL, DELETED_COL),
+                key_cols,
+                [SEQ_COL, "rev_gen", REV_COL],
+            )
             ex_keys = (
-                existing.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+                ex.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
                 .select(*key_cols)
-                .distinct()
                 .withColumn("_m", F.lit(1))
             )
             cls = b.select(*key_cols, DELETED_COL, SEQ_COL).join(ex_keys, key_cols, "left")

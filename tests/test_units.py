@@ -199,3 +199,57 @@ def test_multimodal_plumbing(spark):
     av = out[out.kind != "image"]
     assert av["duration_ms"].notna().all() and av["width"].isna().all()
     assert out["content_digest"].str.len().eq(32).all()
+
+
+def test_merge_stats_classify_delete_reinsert(spark, tmp_path):
+    """Lineage classification resolves the LWW winner (ADVICE r01): a
+    reinsert after delete counts as an insert, and deleting an
+    already-tombstoned key does not count as a delete."""
+    from couch_to_mongo_spark.operators.merge import merge_batch, with_engine_schema
+    from couch_to_mongo_spark.schemas import TRANSCRIPT_SCHEMA
+    from couch_to_mongo_spark.tableformat import LakeTable
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), with_engine_schema(TRANSCRIPT_SCHEMA), n_buckets=2
+    )
+
+    def b(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["seq", "op", "conv_id", "turn_idx", "_rev", "text"])
+        )
+
+    r0 = merge_batch(table, b([(0, "i", "c", 0, "1-a", "x")]), run_id="r", batch_id=0)
+    assert (r0.n_inserts, r0.n_updates, r0.n_deletes) == (1, 0, 0)
+    r1 = merge_batch(table, b([(1, "d", "c", 0, "2-a", None)]), run_id="r", batch_id=1)
+    assert (r1.n_inserts, r1.n_updates, r1.n_deletes) == (0, 0, 1)
+    # reinsert after delete: the LWW winner in the table is a tombstone,
+    # so this is an INSERT (round-1 counted it as an update)
+    r2 = merge_batch(table, b([(2, "i", "c", 0, "3-a", "y")]), run_id="r", batch_id=2)
+    assert (r2.n_inserts, r2.n_updates, r2.n_deletes) == (1, 0, 0)
+    # delete again after deleting: key is live -> counts
+    r3 = merge_batch(table, b([(3, "d", "c", 0, "4-a", None)]), run_id="r", batch_id=3)
+    assert (r3.n_inserts, r3.n_updates, r3.n_deletes) == (0, 0, 1)
+    # delete of the already-tombstoned key: NOT a delete (round-1 counted it)
+    r4 = merge_batch(table, b([(4, "d", "c", 0, "5-a", None)]), run_id="r", batch_id=4)
+    assert (r4.n_inserts, r4.n_updates, r4.n_deletes) == (0, 0, 0)
+
+
+def test_files_per_bucket_splits_hot_buckets_fast_path(spark, tmp_path):
+    """files_per_bucket>1 must produce multiple files per bucket on the
+    fast MOR path too (ADVICE r01: the salt was missing from the
+    repartition keys, collapsing each bucket to one file)."""
+    from couch_to_mongo_spark.gen import make_changes_df
+    from couch_to_mongo_spark.operators.merge import merge_batch, with_engine_schema
+    from couch_to_mongo_spark.schemas import TRANSCRIPT_SCHEMA
+    from couch_to_mongo_spark.tableformat import LakeTable
+
+    pdf = make_changes_df(n_events=2000, n_convs=20, seed=61, hot_frac=0.5)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), with_engine_schema(TRANSCRIPT_SCHEMA), n_buckets=2
+    )
+    merge_batch(
+        table, spark.createDataFrame(pdf), run_id="r", batch_id=0,
+        files_per_bucket=4, collect_stats=False,
+    )
+    files = table.snapshot().files
+    assert any(len(fl) > 1 for fl in files.values()), files
