@@ -29,11 +29,25 @@ def normalize_text_py(s: str | None) -> str | None:
     return _WS.sub(" ", unicodedata.normalize("NFC", s)).strip()
 
 
-@F.pandas_udf(T.StringType())
-def normalize_text(s: pd.Series) -> pd.Series:
-    """Vectorized normalizer: NFC, whitespace collapse, strip."""
+def normalize_series(s: pd.Series) -> pd.Series:
+    """Vectorized normalizer over a pandas Series: NFC, whitespace
+    collapse, strip. Shared by the pandas_udf and the poison-isolating
+    mapInPandas kernel."""
     # str accessor ops are C-implemented in pandas; NFC needs a map but
     # stays inside one Arrow batch (no per-row Python UDF round trips).
     out = s.map(lambda v: unicodedata.normalize("NFC", v) if v is not None else None)
-    out = out.str.replace(_WS, " ", regex=True).str.strip()
-    return out
+    return out.str.replace(_WS, " ", regex=True).str.strip()
+
+
+@F.pandas_udf(T.StringType())
+def normalize_text(s: pd.Series) -> pd.Series:
+    """Vectorized normalizer: NFC, whitespace collapse, strip."""
+    return normalize_series(s)
+
+
+def normalize_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Schema-preserving pandas kernel form (for
+    :func:`couch_to_mongo_spark.operators.poison.isolate_poison`)."""
+    if "text" in pdf.columns:
+        pdf = pdf.assign(text=normalize_series(pdf["text"]))
+    return pdf

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from couch_to_mongo_spark.operators.dedup import lww_dedup, lww_dedup_join, with_rev_gen
+from couch_to_mongo_spark.operators.poison import POISON_COL
 from couch_to_mongo_spark.operators.schema_evolution import align_to_schema, evolve_schema
 from couch_to_mongo_spark.tableformat import BUCKET_COL, LakeTable, bucket_expr
 
@@ -80,6 +81,7 @@ class MergeResult:
     seq_min: int | None = None
     seq_max: int | None = None
     touched_buckets: int = 0
+    n_poison: int = 0
 
     def to_lineage(self) -> dict[str, Any]:
         return asdict(self)
@@ -99,6 +101,7 @@ def merge_batch(
     collect_stats: bool = True,
     mode: str = "mor",
     transform_after_dedup=None,
+    dead_letter=None,
 ) -> MergeResult:
     """Apply one change batch to the table, exactly-once under replay.
 
@@ -142,11 +145,26 @@ def merge_batch(
         # stats/COW paths keep the exact one-row-per-key kernel
         kernel = lww_dedup_join if fast_mor else lww_dedup
         b = kernel(b, key_cols, order_in_batch)
+    n_poison = 0
+    poison_cache = None
     if transform_after_dedup is not None:
         # e.g. text normalization: applied to winners only, downstream of the
         # dedup shuffle, so the (Python) kernel runs on n_keys rows across
         # all cores instead of n_events rows on the scan's partitioning
         b = transform_after_dedup(b)
+    if POISON_COL in b.columns:
+        # poison-isolating transform (operators/poison.py): quarantine the
+        # rows the kernel could not process and commit the healthy
+        # remainder — the Spark rendering of the reference's insertMany
+        # bisection (Mongo.java:250-261)
+        if dead_letter is None:
+            raise ValueError(
+                f"transform produced {POISON_COL} but no dead_letter log given"
+            )
+        poison_cache = b.persist()
+        poison = poison_cache.where(F.col(POISON_COL).isNotNull())
+        n_poison = dead_letter.append(poison, run_id, batch_id)
+        b = poison_cache.where(F.col(POISON_COL).isNull()).drop(POISON_COL)
     b = (
         b.withColumn(DELETED_COL, F.col(op_col) == F.lit("d"))
         .withColumnRenamed(seq_col, SEQ_COL)
@@ -183,7 +201,7 @@ def merge_batch(
             new_rows, snapshot_hint=f"s{snap.version + 1:08d}", n_buckets=n_buckets
         )
         touched = sorted(delta.keys())
-        result = MergeResult(skipped=False, touched_buckets=len(touched))
+        result = MergeResult(skipped=False, touched_buckets=len(touched), n_poison=n_poison)
         rows, mn, mx = _footer_seq_stats(table, delta)
         result.rows_applied = rows
         result.seq_min, result.seq_max = mn, mx
@@ -193,6 +211,8 @@ def merge_batch(
             run_id=run_id, batch_id=batch_id, append=True,
         )
         result.snapshot_id = new_snap.snapshot_id
+        if poison_cache is not None:
+            poison_cache.unpersist()
         return result
 
     b = b.persist()
@@ -264,7 +284,7 @@ def merge_batch(
             new_rows, snapshot_hint=f"s{snap.version + 1:08d}", n_buckets=n_buckets
         )
 
-        result = MergeResult(skipped=False, touched_buckets=len(touched))
+        result = MergeResult(skipped=False, touched_buckets=len(touched), n_poison=n_poison)
         if stats_row is None:
             # free lineage from parquet footers of the files just written:
             # rows + min/max _seq, no extra Spark job
@@ -298,6 +318,8 @@ def merge_batch(
         return result
     finally:
         b.unpersist()
+        if poison_cache is not None:
+            poison_cache.unpersist()
 
 
 def read_state(

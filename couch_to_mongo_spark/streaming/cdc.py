@@ -87,6 +87,8 @@ class CdcPipeline:
         mode: str = "mor",
         compact_threshold: int = 8,
         compact_async: bool = True,
+        quarantine_poison: bool = False,
+        transform_kernel=None,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -104,6 +106,19 @@ class CdcPipeline:
         self.compactions = 0
         self._compact_thread = None
         self._compact_error: BaseException | None = None
+
+        # quarantine_poison: run the text transform through the
+        # poison-isolating mapInPandas wrapper (operators/poison.py) — a row
+        # the kernel cannot process is dead-lettered instead of failing the
+        # batch. transform_kernel: optional custom schema-preserving pandas
+        # kernel replacing the default normalizer (codec, validator, ...).
+        self.quarantine_poison = quarantine_poison
+        self.transform_kernel = transform_kernel
+        self.dead_letter = None
+        if quarantine_poison:
+            from couch_to_mongo_spark.sources.json_changes import DeadLetterLog
+
+            self.dead_letter = DeadLetterLog(os.path.join(table_path, "_dead_letter"))
 
         self.run_id = _pin_run_id(checkpoint_dir)
         self.table = self._ensure_table()
@@ -141,7 +156,16 @@ class CdcPipeline:
         if self.since_seq is not None:
             batch_df = batch_df.where(F.col("seq") > F.lit(self.since_seq))
         transform = None
-        if self.normalize and "text" in batch_df.columns:
+        if self.quarantine_poison:
+            from couch_to_mongo_spark.functions.normalize import normalize_kernel
+            from couch_to_mongo_spark.operators.poison import isolate_poison
+
+            kernel = self.transform_kernel or (
+                normalize_kernel if self.normalize else None
+            )
+            if kernel is not None:
+                transform = lambda df: isolate_poison(df, kernel)
+        elif self.normalize and "text" in batch_df.columns:
             transform = lambda df: df.withColumn("text", normalize_text(F.col("text")))
 
         res = merge_batch(
@@ -153,6 +177,7 @@ class CdcPipeline:
             collect_stats=self.collect_stats,
             mode=self.mode,
             transform_after_dedup=transform,
+            dead_letter=self.dead_letter,
         )
         if res.skipped:
             self.batches_fenced += 1
@@ -173,7 +198,7 @@ class CdcPipeline:
             n_updates=res.n_updates,
             n_deletes=res.n_deletes,
             snapshot_id=res.snapshot_id,
-            partition_stats={"touched_buckets": res.touched_buckets},
+            partition_stats={"touched_buckets": res.touched_buckets, "n_poison": res.n_poison},
         )
 
     def _batch_input_files(self, batch_df: DataFrame, batch_id: int) -> list[str]:
