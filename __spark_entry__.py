@@ -363,6 +363,65 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each click event enriched with the
+    user's most recent purchase at-or-before it (union + one window pass,
+    one shuffle on the key — no native ASOF in Spark)."""
+    from couch_to_mongo_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("last_purchase_id"),
+        F.round(F.col("value"), 2).alias("last_purchase_value"),
+    )
+    out = asof_join(
+        clicks, purchases, by=["user_id"], ts_col="ts",
+        right_cols=["last_purchase_id", "last_purchase_value"],
+        order_tiebreak="last_purchase_id",
+    )
+    return out.select(
+        "user_id", _epoch("ts").alias("ts_epoch"), "event_id",
+        "last_purchase_id", "last_purchase_value",
+    )
+
+
+SQL_ASOF = """
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+r0 AS (SELECT user_id, ts, event_id AS last_purchase_id,
+              ROUND(value, 2) AS last_purchase_value
+       FROM events WHERE event_type = 'purchase'),
+r AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY last_purchase_id DESC) rn
+        FROM r0) WHERE rn = 1)
+SELECT l.user_id, CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch, l.event_id,
+       r.last_purchase_id, r.last_purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_windowed_counts(spark, sf_dir):
+    """Event-time tumbling-window rollup — the batch twin of the streaming
+    windowed aggregation (streaming/windows.py; the stream adds
+    withWatermark on the same expression tree)."""
+    from couch_to_mongo_spark.streaming.windows import windowed_event_stats
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return windowed_event_stats(ev, window="1 hour", keys=["event_type"])
+
+
+SQL_WINDOWED = """
+SELECT ws AS window_start, ws + 3600 AS window_end, event_type,
+       CAST(count(*) AS BIGINT) AS n_events, ROUND(sum(value), 2) AS sum_value
+FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS ws, event_type, value
+      FROM events)
+GROUP BY ws, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational coverage (joins / aggs / sorts)
 # ---------------------------------------------------------------------------
@@ -796,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fold": q_cdc_fold,
         "rev_order": q_rev_order,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "windowed_counts": q_windowed_counts,
         "q1_pricing": q_q1_pricing,
         "broadcast_enrich": q_broadcast_enrich,
         "topk_per_group": q_topk_per_group,
@@ -833,6 +894,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_fold": SQL_CDC_FOLD,
         "rev_order": SQL_REV,
         "sessionize": SQL_SESSIONIZE,
+        "asof_join": SQL_ASOF,
+        "windowed_counts": SQL_WINDOWED,
         "q1_pricing": SQL_Q1,
         "broadcast_enrich": SQL_BCAST,
         "topk_per_group": SQL_TOPK,

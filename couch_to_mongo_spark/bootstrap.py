@@ -82,7 +82,10 @@ def bulk_bootstrap(
         df = df.repartition(n_parts, F.col(BUCKET_COL))
 
     new_files = table.write_bucketed(df, snapshot_hint="s00000001", n_buckets=n_buckets)
-    n_rows = int(sum(_count_rows(table, fl) for fl in new_files.values()))
+    from couch_to_mongo_spark.operators.merge import _footer_seq_stats
+
+    n_rows, _, _, per_file = _footer_seq_stats(table, new_files)
+    n_rows = int(n_rows)
     result = MergeResult(
         skipped=False,
         n_inserts=n_rows,
@@ -97,6 +100,7 @@ def bulk_bootstrap(
         result.to_lineage(),
         run_id=run_id,
         batch_id=0,
+        new_file_stats=per_file,
     )
     result.snapshot_id = snap.snapshot_id
     LineageLog(os.path.join(table_path, "_lineage")).append(
@@ -111,10 +115,3 @@ def bulk_bootstrap(
     )
     return table, result
 
-
-def _count_rows(table: LakeTable, files: list[str]) -> int:
-    import pyarrow.parquet as pq
-
-    return sum(
-        pq.read_metadata(os.path.join(table.path, f)).num_rows for f in files
-    )

@@ -110,3 +110,138 @@ def lsh_bucket_ann(
         plane = F.array(*[F.lit(plane_component(i, j)) for j in range(dim)])
         bucket = bucket + F.when(dot(v, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def _probe_masks(n_planes: int, probes: int) -> list[int]:
+    """Bucket-id XOR masks for multi-probe LSH: Hamming distance <= probes.
+    probes=0 -> [0]; probes=1 adds the n single-bit flips; probes=2 adds
+    the C(n,2) double flips. Query-side expansion only — the index is
+    untouched, each extra probe is one more bucket lookup."""
+    masks = [0]
+    if probes >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probes >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return masks
+
+
+def ann_candidates(
+    df: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, vec_id) candidate pairs for a set of query vectors: each query
+    probes its own bucket plus all buckets within `probes` bit flips
+    (multi-probe LSH — recovers the recall a single hard bucket boundary
+    loses, without more planes or a bigger index).
+
+    `queries`: (qid, qv) — small; broadcast. At 100 TB the base-side
+    bucket table is the shuffled/bucketed big side and each probe is a
+    bucket-pruned lookup, never a scan."""
+    base_b = lsh_bucket_ann(df, n_planes, dim, vec_col, id_col)
+    q_b = lsh_bucket_ann(
+        queries.select(F.col("qid").alias(id_col), F.col("qv").alias(vec_col)),
+        n_planes, dim, vec_col, id_col,
+    ).select(F.col(id_col).alias("qid"), F.col("bucket"))
+    masks = _probe_masks(n_planes, probes)
+    probed = q_b.select(
+        "qid",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    return (
+        base_b.join(F.broadcast(probed), "bucket")
+        .where(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col)
+        .distinct()
+    )
+
+
+def ann_recall_at_k(
+    df: DataFrame,
+    k: int = 10,
+    n_queries: int = 20,
+    n_planes: int = 8,
+    dim: int = 64,
+    probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Candidate-set recall@k of the LSH/multi-probe path vs brute-force
+    cosine ground truth, averaged over the `n_queries` lowest ids
+    (deterministic). This is the number that justifies the scale path:
+    recall ~1.0 means searching the probed buckets instead of the full
+    table loses (almost) nothing."""
+    from pyspark.sql import Window
+
+    ids = [r[0] for r in df.select(id_col).orderBy(id_col).limit(n_queries).collect()]
+    q = df.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    # ground truth: exact top-k per query (broadcast the tiny query side)
+    j = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col("qid")
+    )
+    scored = j.select(
+        "qid",
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), F.col("qv").cast("array<double>")).alias("cs"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), F.col(id_col))
+    truth = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    cand = ann_candidates(df, q, n_planes, dim, probes, vec_col, id_col)
+    hits = truth.join(cand, ["qid", id_col]).count()
+    return hits / (len(ids) * k)
+
+
+def planted_neardup_recall(
+    df: DataFrame,
+    n_queries: int = 20,
+    target_cos: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    probes: int = 2,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Recall@1 of multi-probe LSH for the operator's actual use case —
+    near-duplicate detection: plant queries at EXACTLY `target_cos` cosine
+    from existing vectors (rotate toward a random orthogonal direction)
+    and measure how often the source lands in the probed candidate set.
+
+    Context for the number: the synthetic embeddings fixture has no
+    neighbor structure (best cross-pair cosine ~0.35 → per-plane agreement
+    0.62 → single-bucket recall 0.62^8 ≈ 0.02 by LSH theory, matching
+    measurement), so top-k-among-noise recall is intrinsically low for ANY
+    sublinear index. Near-dup queries at cosine 0.95 are the workload the
+    LSH path exists for."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_queries).collect()
+    )
+    rng = np.random.default_rng(seed)
+    qrows = []
+    for r in rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        g = rng.standard_normal(len(v))
+        g -= (g @ v) / (v @ v) * v  # orthogonalize
+        q = target_cos * v / np.linalg.norm(v) + np.sqrt(1 - target_cos**2) * g / np.linalg.norm(g)
+        # qid offset so the candidate self-filter (vec_id != qid) keeps the
+        # planted source visible
+        qrows.append((-int(r[0]) - 1, [float(x) for x in q]))
+    spark = df.sparkSession
+    queries = spark.createDataFrame(qrows, f"qid: long, qv: array<double>")
+    cand = ann_candidates(df, queries, n_planes, dim, probes, vec_col, id_col)
+    hits = cand.where(F.col(id_col) == -F.col("qid") - 1).count()
+    return hits / n_queries

@@ -56,6 +56,9 @@ def compact(
     # rewrite-files commit: replace exactly the files we folded; delta files
     # appended by a concurrent merge since `snap` survive the rewrite (the
     # commit rebases on CommitConflict) — Iceberg's RewriteFiles semantics.
+    from couch_to_mongo_spark.operators.merge import _footer_seq_stats
+
+    _, _, _, per_file = _footer_seq_stats(table, new_files)
     replaced = {f for b in buckets for f in snap.files.get(str(b), [])}
     table.commit(
         new_files,
@@ -68,5 +71,6 @@ def compact(
         },
         replaced_files=replaced,
         base_version=snap.version,
+        new_file_stats=per_file,
     )
     return before

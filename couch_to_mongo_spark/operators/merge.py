@@ -202,13 +202,14 @@ def merge_batch(
         )
         touched = sorted(delta.keys())
         result = MergeResult(skipped=False, touched_buckets=len(touched), n_poison=n_poison)
-        rows, mn, mx = _footer_seq_stats(table, delta)
+        rows, mn, mx, per_file = _footer_seq_stats(table, delta)
         result.rows_applied = rows
         result.seq_min, result.seq_max = mn, mx
         # append commit: rebases automatically under concurrent writers
         new_snap = table.commit(
             delta, touched, result.to_lineage(), new_schema=evolved,
             run_id=run_id, batch_id=batch_id, append=True,
+            new_file_stats=per_file,
         )
         result.snapshot_id = new_snap.snapshot_id
         if poison_cache is not None:
@@ -285,10 +286,10 @@ def merge_batch(
         )
 
         result = MergeResult(skipped=False, touched_buckets=len(touched), n_poison=n_poison)
+        # footer pass always runs: per-file seq bounds feed the snapshot's
+        # scan-pruning stats even when row classification came from the join
+        rows, mn, mx, per_file = _footer_seq_stats(table, new_files)
         if stats_row is None:
-            # free lineage from parquet footers of the files just written:
-            # rows + min/max _seq, no extra Spark job
-            rows, mn, mx = _footer_seq_stats(table, new_files)
             result.rows_applied = rows
             result.seq_min = raw_range["mn"] if raw_range is not None else mn
             result.seq_max = raw_range["mx"] if raw_range is not None else mx
@@ -313,6 +314,7 @@ def merge_batch(
             # concurrent commit touched them since).
             append=(mode == "mor"),
             base_version=None if mode == "mor" else snap.version,
+            new_file_stats=per_file,
         )
         result.snapshot_id = new_snap.snapshot_id
         return result
@@ -345,22 +347,30 @@ def read_state(
 
 def _footer_seq_stats(table, new_files):
     """rows + min/max(_seq) of the freshly written delta files, read from
-    parquet footers (metadata-only I/O)."""
+    parquet footers (metadata-only I/O). Also returns the per-file stats
+    dict {relpath: [rows, seq_min, seq_max]} persisted into the snapshot
+    for seq-range scan pruning (LakeTable.read(min_seq=...))."""
     import os as _os
 
     import pyarrow.parquet as _pq
 
     rows, mn, mx = 0, None, None
+    per_file: dict[str, list] = {}
     for fl in new_files.values():
         for f in fl:
             md = _pq.read_metadata(_os.path.join(table.path, f))
             rows += md.num_rows
+            fmn, fmx = None, None
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             if SEQ_COL in idx:
                 ci = idx[SEQ_COL]
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(ci).statistics
                     if st is not None and st.has_min_max:
-                        mn = st.min if mn is None else min(mn, st.min)
-                        mx = st.max if mx is None else max(mx, st.max)
-    return rows, mn, mx
+                        fmn = st.min if fmn is None else min(fmn, st.min)
+                        fmx = st.max if fmx is None else max(fmx, st.max)
+            per_file[f] = [md.num_rows, fmn, fmx]
+            if fmn is not None:
+                mn = fmn if mn is None else min(mn, fmn)
+                mx = fmx if mx is None else max(mx, fmx)
+    return rows, mn, mx, per_file

@@ -60,6 +60,11 @@ class Snapshot:
     n_buckets: int
     files: dict[str, list[str]]  # bucket (str) -> relative file paths
     lineage: dict[str, Any] = field(default_factory=dict)
+    # per-file stats for scan pruning: relpath -> [rows, seq_min, seq_max]
+    # (Iceberg's per-data-file column bounds, for the one column the engine
+    # always filters on). Carried forward across commits; entries for
+    # removed files are dropped.
+    file_stats: dict[str, list] = field(default_factory=dict)
     # exactly-once fence, O(1) per run: run_id -> [max_batch_id, snapshot_id
     # of that batch's commit]. Structured Streaming batch ids are monotonic
     # per checkpoint (and run_id is pinned to the checkpoint), so a single
@@ -87,6 +92,7 @@ class Snapshot:
             "files": self.files,
             "lineage": self.lineage,
             "fences": self.fences,
+            "file_stats": self.file_stats,
         }
 
     @classmethod
@@ -108,6 +114,7 @@ class Snapshot:
             files=d["files"],
             lineage=d.get("lineage", {}),
             fences=fences,
+            file_stats=d.get("file_stats", {}),
         )
 
 
@@ -233,9 +240,23 @@ class LakeTable:
 
     # ---------------- read ----------------
 
-    def read(self, version: int | None = None, with_bucket: bool = False) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        with_bucket: bool = False,
+        min_seq: int | None = None,
+    ) -> DataFrame:
+        """Read a snapshot. ``min_seq`` prunes data files whose snapshot-level
+        ``_seq`` max is below it BEFORE Spark plans the scan — metadata-only
+        file skipping on the engine's universal filter column (Iceberg's
+        per-file column bounds). At 10^10 events an incremental consumer
+        reads O(new files), not O(table)."""
         snap = self.snapshot(version)
-        files = [os.path.join(self.path, f) for f in snap.all_files()]
+        rels = snap.all_files()
+        if min_seq is not None:
+            rels = [f for f in rels if self._seq_max_of(snap, f) is None
+                    or self._seq_max_of(snap, f) >= min_seq]
+        files = [os.path.join(self.path, f) for f in rels]
         if not files:
             df = self.spark.createDataFrame([], snap.schema)
         else:
@@ -243,10 +264,54 @@ class LakeTable:
             # the Spark-native analogue of the reference tolerating docs
             # with/without Header/Analytics (SURVEY.md §1.2).
             df = self.spark.read.schema(snap.schema).parquet(*files)
+        if min_seq is not None and "_seq" in df.columns:
+            df = df.where(F.col("_seq") >= F.lit(min_seq))
         if with_bucket:
             key = snap.lineage.get("bucket_key") or self.bucket_key()
             df = df.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
         return df
+
+    @staticmethod
+    def _seq_max_of(snap: Snapshot, relpath: str):
+        st = snap.file_stats.get(relpath)
+        return None if not st else st[2]
+
+    def files_pruned_by_seq(self, min_seq: int, version: int | None = None) -> tuple[int, int]:
+        """(files_read, files_total) a min_seq read would scan — pruning
+        observability for tests and ops."""
+        snap = self.snapshot(version)
+        rels = snap.all_files()
+        kept = [f for f in rels if self._seq_max_of(snap, f) is None
+                or self._seq_max_of(snap, f) >= min_seq]
+        return len(kept), len(rels)
+
+    def read_appended(
+        self, since_version: int, version: int | None = None
+    ) -> DataFrame:
+        """Incremental read (CDC-out / changelog view): only the delta rows
+        added AFTER ``since_version`` up to ``version`` — the files present
+        in the later snapshot but not the earlier one. O(new data) I/O; a
+        downstream consumer polls this instead of re-reading the table.
+        Rows are raw multi-version deltas (tombstones included) in the
+        later snapshot's schema. Files written by compaction commits are
+        rewrites of already-delivered rows and are excluded; requires
+        snapshot retention (expire_snapshots keep_last) to cover the
+        consumer's lag."""
+        snap = self.snapshot(version)
+        target = snap.version
+        seen = set(self.snapshot(since_version).all_files())
+        new: list[str] = []
+        for v in range(since_version + 1, target + 1):
+            s = self.snapshot(v)
+            added = [f for f in s.all_files() if f not in seen]
+            seen.update(added)
+            if s.lineage.get("op") != "compact":
+                new.extend(added)
+        if not new:
+            return self.spark.createDataFrame([], snap.schema)
+        return self.spark.read.schema(snap.schema).parquet(
+            *[os.path.join(self.path, f) for f in new]
+        )
 
     def read_buckets(self, buckets: list[int], version: int | None = None) -> DataFrame:
         """Read only the given buckets — the partition-pruned side of MERGE."""
@@ -277,6 +342,7 @@ class LakeTable:
         replaced_files: set[str] | None = None,
         base_version: int | None = None,
         max_retries: int = 5,
+        new_file_stats: dict[str, list] | None = None,
     ) -> Snapshot:
         """Publish a new snapshot with optimistic-concurrency rebase.
 
@@ -327,6 +393,10 @@ class LakeTable:
                         f"batch {run_id}:{batch_id} already fenced at {cur[0]}"
                     )
                 fences[run_id] = [batch_id, prev.snapshot_id + 1]
+            stats = dict(prev.file_stats)
+            stats.update(new_file_stats or {})
+            live = {f for fl in files.values() for f in fl}
+            stats = {f: s for f, s in stats.items() if f in live}
             snap = Snapshot(
                 version=prev.version + 1,
                 snapshot_id=prev.snapshot_id + 1,
@@ -336,6 +406,7 @@ class LakeTable:
                 files=files,
                 lineage=lineage,
                 fences=fences,
+                file_stats=stats,
             )
             try:
                 self._write_snapshot(snap)

@@ -253,3 +253,18 @@ def test_files_per_bucket_splits_hot_buckets_fast_path(spark, tmp_path):
     )
     files = table.snapshot().files
     assert any(len(fl) > 1 for fl in files.values()), files
+
+
+def test_ann_multiprobe_recall_floor(spark):
+    """Multi-probe LSH recovers planted near-duplicates (cosine 0.95):
+    recall@1 >= 0.9 at probes=2, monotone in probes (VERDICT r01 next-#9).
+    Top-k-among-noise recall is intrinsically low on this fixture (best
+    cross-pair cosine ~0.35) — documented in planted_neardup_recall."""
+    from couch_to_mongo_spark.functions.vectors import planted_neardup_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    r0 = planted_neardup_recall(emb, n_queries=40, probes=0)
+    r1 = planted_neardup_recall(emb, n_queries=40, probes=1)
+    r2 = planted_neardup_recall(emb, n_queries=40, probes=2)
+    assert r0 <= r1 <= r2
+    assert r2 >= 0.9
