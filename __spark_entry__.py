@@ -762,6 +762,27 @@ FROM d GROUP BY vec_id
 """
 
 
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse quantizer (functions/vectors.py ivf_assign): every vector
+    assigned to its nearest of 8 deterministic centroids — the inverted-list
+    partition key of the IVF ANN scale path."""
+    return V.ivf_assign(_t(spark, sf_dir, "embeddings"), n_centroids=8)
+
+
+SQL_IVF_ASSIGN = """
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+d AS (SELECT e.vec_id, c.cid,
+        ROUND(sqrt(sum((e.embedding[i.i]::DOUBLE - c.ce[i.i]::DOUBLE)
+                     * (e.embedding[i.i]::DOUBLE - c.ce[i.i]::DOUBLE))), 5) AS dist
+      FROM embeddings e CROSS JOIN c CROSS JOIN range(1, 65) i(i)
+      GROUP BY e.vec_id, c.cid),
+r AS (SELECT vec_id, cid, dist,
+        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, dist FROM r WHERE rn = 1
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Binary media payload → mapInPandas decode (deterministic stub codec)."""
     media = attach_fake_payload(_t(spark, sf_dir, "documents"))
@@ -873,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "neardup_cosine": q_neardup_cosine,
         "lsh_ann_buckets": q_lsh_ann_buckets,
+        "ivf_assign": q_ivf_assign,
         "multimodal_decode": q_multimodal_decode,
         "engine_replay": q_engine_replay,
     }
@@ -912,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "neardup_cosine": SQL_NEARDUP,
         "lsh_ann_buckets": SQL_LSH_ANN,
+        "ivf_assign": SQL_IVF_ASSIGN,
         "multimodal_decode": SQL_MULTIMODAL,
         # round 2: the full engine path is oracle-checked too — final MOR
         # state after merge+compaction+tombstones IS SQL-expressible

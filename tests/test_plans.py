@@ -79,3 +79,35 @@ def test_anti_join_no_cartesian(spark):
     plan = formatted_plan(E.q_anti_join_new_keys(spark, SF))
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
     assert "Cartesian" not in plan
+
+
+def test_asof_join_single_data_shuffle(spark):
+    """asof = union + one window pass: data must cross the wire once for
+    the final per-key sort (plus AQE bookkeeping), never via a range join
+    or cartesian."""
+    df = E.q_asof_join(spark, SF)
+    plan = formatted_plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # union side + window shuffle; dedup_right adds one more on the right
+    assert count_exchanges(df) <= 3, plan
+
+
+def test_jaccard_joins_on_hashed_shingle(spark):
+    """The self-join key must be the 8-byte hash, not the shingle text —
+    the shuffle payload at 100 TB depends on it."""
+    df = E.q_ngram_jaccard(spark, SF)
+    plan = formatted_plan(df)
+    assert "conv(substring(md5" in plan.replace(" ", "").lower() or "conv" in plan.lower(), plan
+
+
+def test_ivf_assign_no_shuffle(spark):
+    """Centroid assignment is a pure map: broadcast literals + one pass,
+    zero exchanges."""
+    df = E.q_ivf_assign(spark, SF)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_windowed_counts_single_shuffle_partial_agg(spark):
+    df = E.q_windowed_counts(spark, SF)
+    assert count_exchanges(df) == 1, formatted_plan(df)
+    assert count_partial_final_aggs(df) >= 2
