@@ -132,3 +132,49 @@ def lww_dedup_window(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+def bucket_partitioned_lww(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    n_buckets: int,
+    files_per_bucket: int = 1,
+    bucket_key: str | None = None,
+) -> DataFrame:
+    """Single-shuffle LWW for the MOR fast path: repartition by
+    ``(bucket[, salt])`` FIRST, then dedup with a window whose partitionBy
+    is a superset of the partition keys — Catalyst plans the window with
+    NO further exchange (Sort + WindowGroupLimit prune losers in place),
+    and a bucket-partitioned write downstream streams straight out of the
+    same partitions. Exactly one full-payload shuffle end to end
+    (plan-asserted: tests/test_plans.py::test_fast_merge_single_shuffle).
+
+    ``files_per_bucket > 1`` adds a key-derived salt column to the
+    partitioning (a real column, not a literal — literals break Catalyst's
+    partitioning-subset detection) so hot buckets split across writers
+    while each key's rows stay co-located.
+
+    Returns the deduped frame WITH the transient ``_bucket`` (and
+    ``_salt``) columns still attached.
+    """
+    from couch_to_mongo_spark.tableformat import BUCKET_COL, bucket_expr
+
+    bucket_key = bucket_key or key_cols[0]
+    n_parts = n_buckets * max(files_per_bucket, 1)
+    b = df.withColumn(BUCKET_COL, bucket_expr(bucket_key, n_buckets))
+    part_cols = [BUCKET_COL]
+    if files_per_bucket > 1:
+        b = b.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(files_per_bucket)).cast("int"),
+        )
+        part_cols.append("_salt")
+    b = b.repartition(n_parts, *[F.col(c) for c in part_cols])
+    w = Window.partitionBy(*part_cols, *key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        b.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -43,7 +43,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from couch_to_mongo_spark.operators.dedup import lww_dedup, lww_dedup_join, with_rev_gen
+from couch_to_mongo_spark.operators.dedup import (
+    bucket_partitioned_lww,
+    lww_dedup,
+    with_rev_gen,
+)
 from couch_to_mongo_spark.operators.poison import POISON_COL
 from couch_to_mongo_spark.operators.schema_evolution import align_to_schema, evolve_schema
 from couch_to_mongo_spark.tableformat import BUCKET_COL, LakeTable, bucket_expr
@@ -140,63 +144,48 @@ def merge_batch(
         raw_range = batch_df.agg(
             F.min(seq_col).alias("mn"), F.max(seq_col).alias("mx")
         ).collect()[0]
-    if not already_deduped:
-        # hot path: join-kernel (order-tie duplicates collapse at read);
-        # stats/COW paths keep the exact one-row-per-key kernel
-        kernel = lww_dedup_join if fast_mor else lww_dedup
-        b = kernel(b, key_cols, order_in_batch)
-    n_poison = 0
-    poison_cache = None
-    if transform_after_dedup is not None:
-        # e.g. text normalization: applied to winners only, downstream of the
-        # dedup shuffle, so the (Python) kernel runs on n_keys rows across
-        # all cores instead of n_events rows on the scan's partitioning
-        b = transform_after_dedup(b)
-    if POISON_COL in b.columns:
-        # poison-isolating transform (operators/poison.py): quarantine the
-        # rows the kernel could not process and commit the healthy
-        # remainder — the Spark rendering of the reference's insertMany
-        # bisection (Mongo.java:250-261)
-        if dead_letter is None:
-            raise ValueError(
-                f"transform produced {POISON_COL} but no dead_letter log given"
-            )
-        poison_cache = b.persist()
-        poison = poison_cache.where(F.col(POISON_COL).isNotNull())
-        n_poison = dead_letter.append(poison, run_id, batch_id)
-        b = poison_cache.where(F.col(POISON_COL).isNull()).drop(POISON_COL)
-    b = (
-        b.withColumn(DELETED_COL, F.col(op_col) == F.lit("d"))
-        .withColumnRenamed(seq_col, SEQ_COL)
-    )
-    if rev_col != REV_COL:
-        b = b.withColumnRenamed(rev_col, REV_COL)
-    b = b.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets))
-
-    payload_fields = [
-        f
-        for f in b.schema.fields
-        if f.name not in TRANSIENT_COLS and f.name not in ENGINE_COLS
-    ]
-    evolved = evolve_schema(snap.schema, with_engine_schema(T.StructType(payload_fields)))
-
     if fast_mor:
-        # FAST PATH: single pass — dedup → bucket-partitioned append, touched
-        # buckets learned from the write output; lineage from parquet footers.
+        # FAST PATH — single-shuffle apply. The ONE exchange is the bucket
+        # repartition, done FIRST; everything downstream reuses it: the
+        # partition keys are a subset of the dedup window's partitionBy, so
+        # Catalyst plans the LWW as Sort+WindowGroupLimit+Window with NO
+        # further exchange (WindowGroupLimit prunes losers during the
+        # sort), and the bucket-partitioned write streams straight out of
+        # the same partitions (one file per bucket x salt). The payload
+        # crosses the wire exactly once; round-1's kernel moved it twice
+        # (dedup-join shuffle on key, then the write repartition).
+        # Plan-asserted in tests/test_plans.py::test_fast_merge_single_shuffle.
+        if already_deduped:
+            n_parts = n_buckets * max(files_per_bucket, 1)
+            b = b.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets))
+            b = b.repartition(n_parts, F.col(BUCKET_COL))
+        else:
+            b = bucket_partitioned_lww(
+                b, key_cols, order_in_batch, n_buckets, files_per_bucket
+            )
+        b, n_poison, poison_cache = _transform_and_quarantine(
+            b, transform_after_dedup, dead_letter, run_id, batch_id
+        )
+        b = (
+            b.withColumn(DELETED_COL, F.col(op_col) == F.lit("d"))
+            .withColumnRenamed(seq_col, SEQ_COL)
+        )
+        if rev_col != REV_COL:
+            b = b.withColumnRenamed(rev_col, REV_COL)
+        payload_fields = [
+            f
+            for f in b.schema.fields
+            if f.name not in TRANSIENT_COLS and f.name not in ENGINE_COLS
+        ]
+        evolved = evolve_schema(
+            snap.schema, with_engine_schema(T.StructType(payload_fields))
+        )
+        # align drops the physical bucket/salt columns; the ROWS stay in
+        # their bucket partitions (projections preserve partitioning), so
+        # the partitionBy write still emits one file per bucket x salt
         new_rows = align_to_schema(b, evolved).withColumn(
             BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
         )
-        n_parts = n_buckets * max(files_per_bucket, 1)
-        if files_per_bucket > 1:
-            # salt must be in the partitioning keys or every bucket hashes
-            # to one partition regardless of n_parts (hot buckets unsplit)
-            new_rows = new_rows.repartition(
-                n_parts,
-                F.col(BUCKET_COL),
-                F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(files_per_bucket)),
-            )
-        else:
-            new_rows = new_rows.repartition(n_parts, F.col(BUCKET_COL))
         delta = table.write_bucketed(
             new_rows, snapshot_hint=f"s{snap.version + 1:08d}", n_buckets=n_buckets
         )
@@ -215,6 +204,27 @@ def merge_batch(
         if poison_cache is not None:
             poison_cache.unpersist()
         return result
+
+    # ---- stats / COW path: exact one-row-per-key dedup, then classify ----
+    if not already_deduped:
+        b = lww_dedup(b, key_cols, order_in_batch)
+    b, n_poison, poison_cache = _transform_and_quarantine(
+        b, transform_after_dedup, dead_letter, run_id, batch_id
+    )
+    b = (
+        b.withColumn(DELETED_COL, F.col(op_col) == F.lit("d"))
+        .withColumnRenamed(seq_col, SEQ_COL)
+    )
+    if rev_col != REV_COL:
+        b = b.withColumnRenamed(rev_col, REV_COL)
+    b = b.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets))
+
+    payload_fields = [
+        f
+        for f in b.schema.fields
+        if f.name not in TRANSIENT_COLS and f.name not in ENGINE_COLS
+    ]
+    evolved = evolve_schema(snap.schema, with_engine_schema(T.StructType(payload_fields)))
 
     b = b.persist()
     try:
@@ -344,6 +354,31 @@ def read_state(
         df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
     return df.drop(*[c for c in ENGINE_COLS if c in df.columns])
 
+
+
+def _transform_and_quarantine(b, transform_after_dedup, dead_letter, run_id, batch_id):
+    """Apply the post-dedup transform (e.g. the Arrow text normalizer) and,
+    if it is poison-isolating (operators/poison.py), quarantine the rows it
+    could not process and keep the healthy remainder — the Spark rendering
+    of the reference's insertMany bisection (Mongo.java:250-261). Returns
+    (df, n_poison, poison_cache); the caller unpersists the cache after the
+    write materializes."""
+    n_poison = 0
+    poison_cache = None
+    if transform_after_dedup is not None:
+        # applied to winners only, downstream of the dedup, so a Python
+        # kernel runs on n_keys rows across all cores rather than n_events
+        b = transform_after_dedup(b)
+    if POISON_COL in b.columns:
+        if dead_letter is None:
+            raise ValueError(
+                f"transform produced {POISON_COL} but no dead_letter log given"
+            )
+        poison_cache = b.persist()
+        poison = poison_cache.where(F.col(POISON_COL).isNotNull())
+        n_poison = dead_letter.append(poison, run_id, batch_id)
+        b = poison_cache.where(F.col(POISON_COL).isNull()).drop(POISON_COL)
+    return b, n_poison, poison_cache
 
 def _footer_seq_stats(table, new_files):
     """rows + min/max(_seq) of the freshly written delta files, read from

@@ -111,3 +111,27 @@ def test_windowed_counts_single_shuffle_partial_agg(spark):
     df = E.q_windowed_counts(spark, SF)
     assert count_exchanges(df) == 1, formatted_plan(df)
     assert count_partial_final_aggs(df) >= 2
+
+
+def test_fast_merge_single_shuffle(spark):
+    """The MOR fast path's whole apply (bucket partition -> LWW dedup) must
+    cost exactly ONE exchange, with the window planned as
+    Sort+WindowGroupLimit on the existing partitioning."""
+    from pyspark.sql import functions as F
+    from couch_to_mongo_spark.operators.dedup import bucket_partitioned_lww
+
+    df = spark.range(10000).select(
+        F.concat(F.lit("c"), (F.col("id") % 100).cast("string")).alias("conv_id"),
+        (F.col("id") % 40).cast("int").alias("turn_idx"),
+        F.col("id").alias("seq"),
+        F.lit(1).alias("rev_gen"),
+        F.md5(F.col("id").cast("string")).alias("_rev"),
+    )
+    for fpb in (1, 4):
+        out = bucket_partitioned_lww(
+            df, ["conv_id", "turn_idx"], ["seq", "rev_gen", "_rev"],
+            n_buckets=16, files_per_bucket=fpb,
+        )
+        plan = formatted_plan(out)
+        assert count_exchanges(out) == 1, plan
+        assert "WindowGroupLimit" in plan, plan
