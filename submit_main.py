@@ -8,7 +8,8 @@
 Subcommands mirror the reference's two phases + operations (SURVEY.md §3):
 bootstrap (bulk snapshot copy), replay (availableNow CDC catch-up), tail
 (continuous CDC), compact, state (count + latest snapshot probe — the
-reference's countDocuments validation, Couch.java:94).
+reference's countDocuments validation, Couch.java:94), vacuum (snapshot
+expiry + orphan staging-dir GC).
 
 On a cluster, master/executors come from spark-submit; locally it falls
 back to local[$SPARK_GRAFT_CPUS].
@@ -71,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("state", help="table probe: snapshot + live row count")
     p.add_argument("--table", required=True)
 
+    p = sub.add_parser("vacuum", help="expire old snapshots + reclaim orphans")
+    p.add_argument("--table", required=True)
+    p.add_argument("--keep-last", type=int, default=10)
+    p.add_argument("--grace-seconds", type=float, default=3600.0)
+
     args = ap.parse_args(argv)
     spark = _spark(f"c2m-{args.cmd}")
 
@@ -122,6 +128,13 @@ def main(argv: list[str] | None = None) -> int:
             purge_tombstones=args.purge_tombstones,
         )
         print(json.dumps({"buckets_compacted": len(folded)}))
+    elif args.cmd == "vacuum":
+        from couch_to_mongo_spark.tableformat import LakeTable
+
+        table = LakeTable(spark, args.table)
+        expired = table.expire_snapshots(keep_last=args.keep_last)
+        orphans = table.gc_orphans(grace_seconds=args.grace_seconds)
+        print(json.dumps({**expired, "orphans_reclaimed": len(orphans)}))
     elif args.cmd == "state":
         from couch_to_mongo_spark.operators.merge import read_state
         from couch_to_mongo_spark.tableformat import LakeTable
