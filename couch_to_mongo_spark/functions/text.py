@@ -282,6 +282,12 @@ def ngram_jaccard_pairs(
             F.array_distinct(shingles_from_tokens(F.col("_tk"), n))
         ).alias("sh"),
     ).select(F.col(id_col), hash15(F.col("sh")).alias("sh"))
+    sizes = d.select(
+        F.col(id_col),
+        F.array_size(
+            F.array_distinct(shingles_from_tokens(F.col("_tk"), n))
+        ).cast("long").alias("n_sh"),
+    )
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("sh")
@@ -289,18 +295,26 @@ def ngram_jaccard_pairs(
             .where(F.col("_df") > max_doc_freq)
             .select("sh")
         )
+        # Sizes over the FILTERED universe = array_size minus the per-doc
+        # count of hot shingles (shingles are distinct per doc, so the
+        # subtraction is exact). The hot-hit count joins/aggregates only
+        # the hot OCCURRENCES (tiny), where re-aggregating the whole
+        # filtered index would pay a second full-index shuffle — measured
+        # slower than the uncapped path it was meant to guard. `hot`
+        # appears in two broadcasts but is one identical subplan, so
+        # Spark's exchange reuse computes it once.
+        hot_hits = (
+            sh.join(F.broadcast(hot), "sh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("_n_hot"))
+        )
+        sizes = sizes.join(hot_hits, id_col, "left").select(
+            F.col(id_col),
+            (F.col("n_sh") - F.coalesce(F.col("_n_hot"), F.lit(0))).alias("n_sh"),
+        )
         # hot set is tiny by construction (only ultra-frequent shingles):
         # broadcast anti-join, no extra shuffle of the index
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-        # sizes must count the FILTERED universe
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    else:
-        sizes = d.select(
-            F.col(id_col),
-            F.array_size(
-                F.array_distinct(shingles_from_tokens(F.col("_tk"), n))
-            ).cast("long").alias("n_sh"),
-        )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -152,7 +152,11 @@ def bucket_partitioned_lww(
     ``files_per_bucket > 1`` adds a key-derived salt column to the
     partitioning (a real column, not a literal — literals break Catalyst's
     partitioning-subset detection) so hot buckets split across writers
-    while each key's rows stay co-located.
+    while each key's rows stay co-located. The salt hash is seeded
+    independently of the bucket hash (extra literal column in xxhash64):
+    ``pmod(h, n_buckets)`` and ``pmod(h, files_per_bucket)`` of the SAME h
+    are congruent whenever files_per_bucket divides n_buckets, which would
+    make the salt constant within a bucket and leave hot buckets unsplit.
 
     Returns the deduped frame WITH the transient ``_bucket`` (and
     ``_salt``) columns still attached.
@@ -166,7 +170,9 @@ def bucket_partitioned_lww(
     if files_per_bucket > 1:
         b = b.withColumn(
             "_salt",
-            F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(files_per_bucket)).cast("int"),
+            F.pmod(
+                F.xxhash64(F.col(bucket_key), F.lit(1)), F.lit(files_per_bucket)
+            ).cast("int"),
         )
         part_cols.append("_salt")
     b = b.repartition(n_parts, *[F.col(c) for c in part_cols])

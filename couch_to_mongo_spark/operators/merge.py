@@ -193,6 +193,13 @@ def merge_batch(
         result = MergeResult(skipped=False, touched_buckets=len(touched), n_poison=n_poison)
         rows, mn, mx, per_file = _footer_seq_stats(table, delta)
         result.rows_applied = rows
+        # Fast-path lineage semantics: seq_min/seq_max are the APPLIED
+        # (post-dedup, post-quarantine winner) range from the written files'
+        # footers — the stats path records the raw SOURCE range instead
+        # (Mongo.java:535 audit analogue), at the cost of an extra agg pass
+        # the fast path exists to avoid. Resume correctness is unaffected
+        # (fencing is by batch id; re-apply is idempotent); audits wanting
+        # source ranges should run with collect_stats=True.
         result.seq_min, result.seq_max = mn, mx
         # append commit: rebases automatically under concurrent writers
         new_snap = table.commit(
@@ -283,10 +290,13 @@ def merge_batch(
 
         n_parts = max(len(touched), 1) * max(files_per_bucket, 1)
         if files_per_bucket > 1:
+            # salt hash seeded independently of the bucket hash (see
+            # bucket_partitioned_lww): same-hash double-mod degenerates to a
+            # constant salt per bucket whenever files_per_bucket | n_buckets
             new_rows = new_rows.repartition(
                 n_parts,
                 F.col(BUCKET_COL),
-                F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(files_per_bucket)),
+                F.pmod(F.xxhash64(F.col(key_cols[0]), F.lit(1)), F.lit(files_per_bucket)),
             )
         else:
             new_rows = new_rows.repartition(n_parts, F.col(BUCKET_COL))

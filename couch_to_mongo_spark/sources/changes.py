@@ -66,13 +66,23 @@ def widen_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
     return None
 
 
-def infer_feed_schema(changes_dir: str, sample_limit: int | None = None) -> T.StructType:
-    """Union schema across all change files (footer metadata only).
+def infer_feed_schema(changes_dir: str, sample_limit: int | None = 64) -> T.StructType:
+    """Union schema across change files (footer metadata only).
 
     New columns appended in file order — the evolved schema lists columns
     in the order they first appeared in the feed. Numeric type conflicts
     resolve to the wider type (int -> long -> double); incompatible
     conflicts raise.
+
+    ``sample_limit`` (default 64) bounds the footer reads to the first +
+    last K/2 files: in an append-only feed columns only ever accrete, so
+    the newest files carry the fully-evolved schema and the oldest carry
+    the baseline — a 10^5-file feed no longer costs 10^5 serial driver
+    metadata reads per (re)start. The bound can miss a column that
+    appeared mid-feed and then vanished from every later file (not a
+    thing an accreting feed does); pass ``sample_limit=None`` to scan
+    everything, and mid-stream drift is still caught per-batch by
+    :func:`feed_schema_drift` on exactly the files being applied.
     """
     files = sorted(glob.glob(os.path.join(changes_dir, "*.parquet")))
     if sample_limit:
@@ -104,19 +114,22 @@ def infer_feed_schema(changes_dir: str, sample_limit: int | None = None) -> T.St
 
 def feed_schema_drift(
     paths: list[str], known: T.StructType
-) -> tuple[list[str], list[str]]:
+) -> tuple[list[str], list[str], list[str]]:
     """Schema drift of a batch's input files vs the stream's known schema,
     in ONE footer pass over all files (no per-file driver round-trips).
 
-    Returns (new_columns, widened_columns): columns absent from `known`,
-    and columns whose file type is strictly wider than the known type
-    (e.g. int32 -> int64 mid-stream). Either is drift — the stream must
-    restart with a re-inferred schema or rows would be silently corrupted
-    by the narrower read schema.
+    Returns (new_columns, widened_columns, incompatible_columns): columns
+    absent from `known`; columns whose file type is strictly wider than
+    the known type (e.g. int32 -> int64 mid-stream); and columns whose
+    type changed OFF the widening lattice (e.g. long -> string). Any of
+    the three is drift — the first two restart the stream with a
+    re-inferred schema, the third must surface as SchemaDrift rather than
+    let the narrower read schema crash (or silently corrupt) the scan.
     """
     known_types = {f.name: f.dataType for f in known.fields}
     new_cols: set[str] = set()
     widened: set[str] = set()
+    incompatible: set[str] = set()
     for path in paths:
         sch = pq.read_schema(path)
         for name, atype in zip(sch.names, sch.types):
@@ -125,9 +138,16 @@ def feed_schema_drift(
                 new_cols.add(name)
                 continue
             st = _spark_type(atype)
-            if st != kt and widen_type(kt, st) == st:
+            if st == kt:
+                continue
+            w = widen_type(kt, st)
+            if w == st:
                 widened.add(name)
-    return sorted(new_cols), sorted(widened)
+            elif w is None:
+                incompatible.add(name)
+            # w == kt: file is NARROWER than known (old files after a
+            # widening restart) — readable under the wider schema, no drift
+    return sorted(new_cols), sorted(widened), sorted(incompatible)
 
 
 def file_schema_extra_columns(path: str, known: T.StructType) -> list[str]:

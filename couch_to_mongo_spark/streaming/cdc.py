@@ -48,11 +48,19 @@ from couch_to_mongo_spark.tableformat import LakeTable
 
 
 class SchemaDrift(Exception):
-    def __init__(self, new_columns: list[str], widened_columns: list[str] | None = None):
+    def __init__(
+        self,
+        new_columns: list[str],
+        widened_columns: list[str] | None = None,
+        incompatible_columns: list[str] | None = None,
+    ):
         self.new_columns = new_columns
         self.widened_columns = widened_columns or []
+        self.incompatible_columns = incompatible_columns or []
         super().__init__(
-            f"schema drift: new columns {new_columns}, widened {self.widened_columns}"
+            f"schema drift: new columns {new_columns}, "
+            f"widened {self.widened_columns}, "
+            f"incompatible {self.incompatible_columns}"
         )
 
 
@@ -143,14 +151,17 @@ class CdcPipeline:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # schema drift fence BEFORE any commit: ONE footer pass over the
-        # batch's input files detects both new columns and type widening
-        # (int->long mid-stream) — either restarts the stream with a
-        # re-inferred schema
+        # batch's input files detects new columns, type widening (int->long
+        # mid-stream), and off-lattice incompatible changes (long->string).
+        # The first two restart the stream with a re-inferred schema; an
+        # incompatible change surfaces here as SchemaDrift (the re-infer on
+        # restart then raises the precise TypeError) instead of failing
+        # later inside the parquet scan with an opaque executor error.
         if self.feed_schema is not None:
             paths = self._batch_input_files(batch_df, batch_id)
-            new_cols, widened = feed_schema_drift(paths, self.feed_schema)
-            if new_cols or widened:
-                self.drift_error = SchemaDrift(new_cols, widened)
+            new_cols, widened, incompatible = feed_schema_drift(paths, self.feed_schema)
+            if new_cols or widened or incompatible:
+                self.drift_error = SchemaDrift(new_cols, widened, incompatible)
                 raise self.drift_error
 
         if self.since_seq is not None:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "n_events LONG, max_seq LONG, n_turns LONG"
+STATE_SCHEMA = "n_events LONG, max_seq LONG, turns ARRAY<INT>"
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
@@ -40,21 +40,21 @@ def _update_conv_progress(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n_events, max_seq, n_turns = (
-        state.get if state.exists else (0, -1, 0)
+    n_events, max_seq, turns = (
+        state.get if state.exists else (0, -1, [])
     )
-    turns_seen = set()
+    # exact cross-batch distinct turns: the turn-id SET lives in state.
+    # Bounded by contract (turn_idx < ~20 per conversation), so state stays
+    # O(turns per conv); an unbounded id space would swap this for a sketch
+    # (e.g. HLL bytes) with the same state plumbing.
+    turns_seen = set(int(t) for t in (turns or []))
     for pdf in pdfs:
         n_events += len(pdf)
         if len(pdf):
             max_seq = max(max_seq, int(pdf["seq"].max()))
             turns_seen.update(int(t) for t in pdf["turn_idx"].dropna())
-    # distinct-turn count is tracked approximately across batches: exact
-    # within a batch, monotone across batches (state stores the running
-    # max of turns seen; an exact cross-batch distinct would need the set
-    # in state — fine for bounded turn_idx, demonstrated simple here)
-    n_turns = max(n_turns, len(turns_seen))
-    state.update((n_events, max_seq, n_turns))
+    n_turns = len(turns_seen)
+    state.update((n_events, max_seq, sorted(turns_seen)))
     yield pd.DataFrame(
         {
             "conv_id": [key[0]],

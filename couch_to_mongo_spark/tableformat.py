@@ -9,19 +9,25 @@ analogue is an Iceberg-style table:
 - data files are parquet, laid out in hash buckets on the merge key
   (``bucket = pmod(xxhash64(conv_id), n_buckets)``) so a micro-batch MERGE
   rewrites only the touched buckets — O(changed), not O(table);
-- a ``_snapshots/v{N}.json`` log lists the live files per bucket, the table
-  schema, per-commit lineage, and the cumulative map of committed
-  ``run_id:batch_id`` → snapshot — committed atomically via O_CREAT|O_EXCL
-  (Iceberg's optimistic-commit model in miniature, since no Iceberg jars
-  ship in this image);
+- a ``_snapshots/v{N}.json`` log lists, per bucket, a reference to an
+  immutable *manifest* file (``_snapshots/manifests/m-*.json``) holding
+  that bucket's live data files + per-file ``_seq`` bounds; the snapshot
+  also carries the table schema, per-commit lineage, and the per-run
+  exactly-once fences — committed atomically via O_CREAT|O_EXCL
+  (Iceberg's manifest-list + optimistic-commit model in miniature, since
+  no Iceberg jars ship in this image). A commit rewrites ONLY the touched
+  buckets' manifests and reuses the rest by reference, so per-commit
+  metadata I/O is O(touched buckets), not O(live files);
 - replaying an already-committed batch is a no-op (**fencing**) — the Spark
   rendering of the reference's "skip already-migrated ids"
   (Mongo.java:93-102) and unfinished-session resume (Mongo.java:422-466),
   but O(1) in driver memory instead of O(sink ids).
 
 At 100 TB the same design holds: n_buckets scales to O(10^4-10^5), the
-snapshot JSON stays small (file lists per bucket, not per row), and commit
-contention is a single atomic create per micro-batch.
+snapshot JSON stays O(n_buckets) manifest references (file lists live in
+per-bucket manifests, rewritten only when the bucket changes), a
+``_latest`` pointer makes version discovery O(1) instead of a directory
+listing, and commit contention is a single atomic create per micro-batch.
 """
 
 from __future__ import annotations
@@ -74,6 +80,12 @@ class Snapshot:
     # history into every snapshot: O(B^2) metadata bytes over a long
     # stream.)
     fences: dict[str, list[int]] = field(default_factory=dict)
+    # bucket (str) -> manifest filename under _snapshots/manifests/. The
+    # serialized (v2) snapshot stores ONLY these references; `files` and
+    # `file_stats` above are materialized from the manifests on load so
+    # every in-memory consumer is unchanged. Manifests are immutable and
+    # uuid-named, hence safely cacheable process-wide.
+    manifests: dict[str, str] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -83,20 +95,31 @@ class Snapshot:
         return [f for fl in self.files.values() for f in fl]
 
     def to_json(self) -> dict:
+        """Serialized (v2) form: manifest references, not inline file lists.
+
+        Per-commit metadata bytes are O(n_buckets) here plus O(files in
+        touched buckets) in the freshly written manifests — the Iceberg
+        manifest-list shape. (The v1 format inlined the full `files` +
+        `file_stats` maps: O(live files) re-serialized per commit, which at
+        10^5-10^6 live files × 10^6 micro-batch commits is a metadata
+        scale-killer.)
+        """
         return {
+            "format": 2,
             "version": self.version,
             "snapshot_id": self.snapshot_id,
             "parent": self.parent,
             "schema": self.schema_json,
             "n_buckets": self.n_buckets,
-            "files": self.files,
+            "manifests": self.manifests,
             "lineage": self.lineage,
             "fences": self.fences,
-            "file_stats": self.file_stats,
         }
 
     @classmethod
     def from_json(cls, d: dict) -> "Snapshot":
+        """Build from a v1 (inline files) snapshot dict. v2 dicts are
+        resolved by :meth:`LakeTable.snapshot`, which owns manifest I/O."""
         fences = d.get("fences", {})
         if not fences and d.get("committed_batches"):
             # migrate round-1 layout ({run:batch -> snapshot_id}) on read
@@ -111,15 +134,23 @@ class Snapshot:
             parent=d.get("parent"),
             schema_json=d["schema"],
             n_buckets=d["n_buckets"],
-            files=d["files"],
+            files=d.get("files", {}),
             lineage=d.get("lineage", {}),
             fences=fences,
             file_stats=d.get("file_stats", {}),
+            manifests=d.get("manifests", {}),
         )
 
 
 class CommitConflict(Exception):
     """Another writer committed the same version first (optimistic commit)."""
+
+
+# Manifests are immutable once published (uuid-named, never rewritten), so a
+# process-wide cache never goes stale; a long-lived driver reads each bucket
+# manifest at most once. Bounded to keep a many-table driver from hoarding.
+_MANIFEST_CACHE: dict[str, tuple[list[str], dict[str, list]]] = {}
+_MANIFEST_CACHE_MAX = 65536
 
 
 class LakeTable:
@@ -129,6 +160,7 @@ class LakeTable:
         self.spark = spark
         self.path = os.path.abspath(path)
         self.snap_dir = os.path.join(self.path, "_snapshots")
+        self.manifest_dir = os.path.join(self.snap_dir, "manifests")
         self.data_dir = os.path.join(self.path, "data")
 
     # ---------------- lifecycle ----------------
@@ -162,39 +194,119 @@ class LakeTable:
 
     # ---------------- snapshot log ----------------
 
-    def latest_version(self) -> int | None:
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self.snap_dir, f"v{version:08d}.json")
+
+    def _existing_versions(self) -> list[int]:
         if not os.path.isdir(self.snap_dir):
-            return None
-        versions = [
+            return []
+        return sorted(
             int(m.group(1))
             for f in os.listdir(self.snap_dir)
             if (m := _SNAP_RE.match(f))
-        ]
-        return max(versions) if versions else None
+        )
+
+    def latest_version(self) -> int | None:
+        """Current version via the ``_latest`` pointer file — O(1 + lag)
+        instead of a directory listing per read/commit (O(#versions), an
+        O(B²) cumulative cost over ~10^6 micro-batch commits). The pointer
+        is a hint updated after each successful commit; staleness (crash
+        between publish and pointer update, or a concurrent writer) is
+        repaired by probing forward, and a missing/invalid pointer falls
+        back to the listing."""
+        v: int | None = None
+        try:
+            with open(os.path.join(self.snap_dir, "_latest")) as fh:
+                v = int(fh.read().strip())
+        except (FileNotFoundError, NotADirectoryError, ValueError):
+            v = None
+        if v is not None and not os.path.exists(self._snap_path(v)):
+            v = None  # bogus pointer (or pointee pruned out from under it)
+        if v is None:
+            versions = self._existing_versions()
+            if not versions:
+                return None
+            v = versions[-1]
+        while os.path.exists(self._snap_path(v + 1)):
+            v += 1
+        return v
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         if version is None:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"no snapshots in {self.snap_dir}")
-        p = os.path.join(self.snap_dir, f"v{version:08d}.json")
-        with open(p) as fh:
-            return Snapshot.from_json(json.load(fh))
+        p = self._snap_path(version)
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"snapshot v{version} not found in {self.snap_dir} "
+                "(expired beyond retention, or never committed)"
+            ) from None
+        snap = Snapshot.from_json(d)
+        if snap.manifests and not snap.files:
+            files: dict[str, list[str]] = {}
+            stats: dict[str, list] = {}
+            for b, name in snap.manifests.items():
+                fl, st = self._read_manifest(name)
+                files[b] = fl
+                stats.update(st)
+            snap.files = files
+            snap.file_stats = stats
+        return snap
 
     def history(self) -> list[Snapshot]:
-        last = self.latest_version()
-        if last is None:
-            return []
-        return [self.snapshot(v) for v in range(last + 1)]
+        """All snapshots still on disk (oldest first). After
+        expire_snapshots pruning, this is the retained window only."""
+        return [self.snapshot(v) for v in self._existing_versions()]
+
+    # ---------------- manifests ----------------
+
+    def _read_manifest(self, name: str) -> tuple[list[str], dict[str, list]]:
+        p = os.path.join(self.manifest_dir, name)
+        hit = _MANIFEST_CACHE.get(p)
+        if hit is not None:
+            return hit
+        with open(p) as fh:
+            d = json.load(fh)
+        entry = (d["files"], d.get("file_stats", {}))
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.clear()
+        _MANIFEST_CACHE[p] = entry
+        return entry
+
+    def _write_manifest(
+        self, bucket: str, files: list[str], file_stats: dict[str, list]
+    ) -> str:
+        """Publish one bucket's immutable manifest; returns its filename.
+        fsync'd before the snapshot that references it is linked, so a
+        published snapshot never points at a torn manifest. Conflicted
+        commit attempts orphan their manifests; expire_snapshots reclaims
+        them (with an mtime grace for in-flight commits)."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        name = f"m-{uuid.uuid4().hex}.json"
+        p = os.path.join(self.manifest_dir, name)
+        with open(p, "w") as fh:
+            json.dump({"bucket": bucket, "files": files, "file_stats": file_stats}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.clear()
+        _MANIFEST_CACHE[p] = (files, file_stats)
+        return name
 
     def _write_snapshot(self, snap: Snapshot) -> None:
         """Atomic publish: O_CREAT|O_EXCL then write+fsync via temp+link.
 
         Write the payload to a temp file first, then `os.link` it to the
         final name — link(2) fails with EEXIST if a concurrent writer won,
-        which is exactly Iceberg's optimistic-concurrency commit.
+        which is exactly Iceberg's optimistic-concurrency commit. On
+        success the ``_latest`` pointer is refreshed (atomic replace; a
+        crash in between only costs the next reader a probe-forward).
         """
-        final = os.path.join(self.snap_dir, f"v{snap.version:08d}.json")
+        final = self._snap_path(snap.version)
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(snap.to_json(), fh)
@@ -206,6 +318,11 @@ class LakeTable:
             raise CommitConflict(f"version {snap.version} already committed") from e
         finally:
             os.unlink(tmp)
+        ptr = os.path.join(self.snap_dir, "_latest")
+        ptr_tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+        with open(ptr_tmp, "w") as fh:
+            fh.write(str(snap.version))
+        os.replace(ptr_tmp, ptr)
 
     # ---------------- fencing ----------------
 
@@ -293,20 +410,31 @@ class LakeTable:
         in the later snapshot but not the earlier one. O(new data) I/O; a
         downstream consumer polls this instead of re-reading the table.
         Rows are raw multi-version deltas (tombstones included) in the
-        later snapshot's schema. Files written by compaction commits are
-        rewrites of already-delivered rows and are excluded; requires
-        snapshot retention (expire_snapshots keep_last) to cover the
-        consumer's lag."""
+        later snapshot's schema. Any rewrite-style commit — one that
+        REMOVED files relative to its parent (compaction, COW merge,
+        strict replace) — is excluded, because its new files re-materialize
+        previously-delivered rows; matching on lineage op alone would
+        re-deliver every touched bucket of a COW table as "appended".
+        Consequently the changelog is precise on MOR tables and
+        conservative on COW ones (a rewrite commit's genuinely-new rows
+        are folded into the rewritten files and skipped — consume the
+        table state, not the changelog, for COW). Requires snapshot
+        retention (expire_snapshots keep_last) to cover the consumer's
+        lag."""
         snap = self.snapshot(version)
         target = snap.version
-        seen = set(self.snapshot(since_version).all_files())
+        base = self.snapshot(since_version)
+        seen = set(base.all_files())
+        parent_files = set(base.all_files())
         new: list[str] = []
         for v in range(since_version + 1, target + 1):
             s = self.snapshot(v)
+            cur = set(s.all_files())
             added = [f for f in s.all_files() if f not in seen]
             seen.update(added)
-            if s.lineage.get("op") != "compact":
+            if not (parent_files - cur):  # pure append: nothing removed
                 new.extend(added)
+            parent_files = cur
         if not new:
             return self.spark.createDataFrame([], snap.schema)
         return self.spark.read.schema(snap.schema).parquet(
@@ -341,8 +469,9 @@ class LakeTable:
         append: bool = False,
         replaced_files: set[str] | None = None,
         base_version: int | None = None,
-        max_retries: int = 5,
+        max_retries: int = 10,
         new_file_stats: dict[str, list] | None = None,
+        backoff_base: float = 0.02,
     ) -> Snapshot:
         """Publish a new snapshot with optimistic-concurrency rebase.
 
@@ -397,6 +526,21 @@ class LakeTable:
             stats.update(new_file_stats or {})
             live = {f for fl in files.values() for f in fl}
             stats = {f: s for f, s in stats.items() if f in live}
+            # Per-bucket manifests: untouched buckets reuse the previous
+            # snapshot's manifest by reference (their file list and stats
+            # cannot have changed — new_file_stats only covers files in
+            # touched buckets); touched buckets get a fresh immutable
+            # manifest. Metadata written per commit = O(touched buckets).
+            # A v1-format (inline) previous snapshot has no manifests, so
+            # the first commit on a migrated table writes all of them once.
+            manifests: dict[str, str] = {}
+            for b_str, fl in files.items():
+                if int(b_str) not in touched and b_str in prev.manifests:
+                    manifests[b_str] = prev.manifests[b_str]
+                else:
+                    manifests[b_str] = self._write_manifest(
+                        b_str, fl, {f: stats[f] for f in fl if f in stats}
+                    )
             snap = Snapshot(
                 version=prev.version + 1,
                 snapshot_id=prev.snapshot_id + 1,
@@ -407,6 +551,7 @@ class LakeTable:
                 lineage=lineage,
                 fences=fences,
                 file_stats=stats,
+                manifests=manifests,
             )
             try:
                 self._write_snapshot(snap)
@@ -414,26 +559,50 @@ class LakeTable:
             except CommitConflict:
                 if attempt == max_retries:
                     raise
+                # Jittered exponential backoff before the rebase re-read: N
+                # writers colliding on one version otherwise busy-spin
+                # re-serializing snapshots in lockstep (reference analogue:
+                # bounded retry budgets, Mongo.java:51-52).
+                import random
+                import time
+
+                time.sleep(random.uniform(0, backoff_base * (2**attempt)))
         raise CommitConflict("unreachable")  # pragma: no cover
 
     # ---------------- maintenance ----------------
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
+    def expire_snapshots(
+        self,
+        keep_last: int = 2,
+        prune_metadata: bool = True,
+        manifest_grace_seconds: float = 300.0,
+    ) -> dict[str, int]:
         """Delete data files referenced only by snapshots older than the
         last ``keep_last`` (bounded time travel — Iceberg's
-        expire_snapshots). Snapshot JSONs are kept (tiny, full audit
-        trail); only unreferenced data files are removed."""
-        last = self.latest_version()
-        if last is None:
-            return {"files_deleted": 0, "snapshots_expired": 0}
-        keep_versions = set(range(max(0, last - keep_last + 1), last + 1))
+        expire_snapshots), then prune the expired snapshot JSONs and every
+        manifest no retained snapshot references. Without metadata pruning,
+        version files accumulate forever (~10^6 over a long stream) and
+        conflicted-commit manifests leak. Manifests younger than
+        ``manifest_grace_seconds`` are kept — an in-flight concurrent
+        commit may have written its manifests but not yet linked its
+        snapshot. Time travel and read_appended stay valid within the
+        retained window only."""
+        import time
+
+        versions = self._existing_versions()
+        if not versions:
+            return {"files_deleted": 0, "snapshots_expired": 0,
+                    "versions_pruned": 0, "manifests_deleted": 0}
+        keep_versions = versions[-keep_last:] if keep_last > 0 else []
+        expired_versions = [v for v in versions if v not in set(keep_versions)]
         live: set[str] = set()
+        live_manifests: set[str] = set()
         for v in keep_versions:
-            live.update(self.snapshot(v).all_files())
+            s = self.snapshot(v)
+            live.update(s.all_files())
+            live_manifests.update(s.manifests.values())
         deleted = 0
-        expired = 0
-        for v in range(0, max(0, last - keep_last + 1)):
-            expired += 1
+        for v in expired_versions:
             for f in self.snapshot(v).all_files():
                 if f in live:
                     continue
@@ -442,7 +611,29 @@ class LakeTable:
                     os.unlink(p)
                     deleted += 1
                 live.add(f)  # only attempt once
-        return {"files_deleted": deleted, "snapshots_expired": expired}
+        pruned = 0
+        manifests_deleted = 0
+        if prune_metadata:
+            for v in expired_versions:
+                os.unlink(self._snap_path(v))
+                pruned += 1
+            if os.path.isdir(self.manifest_dir):
+                now = time.time()
+                for name in os.listdir(self.manifest_dir):
+                    if name in live_manifests or not name.endswith(".json"):
+                        continue
+                    p = os.path.join(self.manifest_dir, name)
+                    if now - os.path.getmtime(p) < manifest_grace_seconds:
+                        continue
+                    os.unlink(p)
+                    _MANIFEST_CACHE.pop(p, None)
+                    manifests_deleted += 1
+        return {
+            "files_deleted": deleted,
+            "snapshots_expired": len(expired_versions),
+            "versions_pruned": pruned,
+            "manifests_deleted": manifests_deleted,
+        }
 
     def gc_orphans(self, grace_seconds: float = 3600.0) -> list[str]:
         """Delete staging dirs under data/ referenced by NO snapshot —

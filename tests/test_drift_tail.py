@@ -56,10 +56,40 @@ def test_feed_schema_drift_detects_widening(tmp_path):
     narrow = T.StructType(
         [f if f.name != "score" else T.StructField("score", T.IntegerType()) for f in known.fields]
     )
-    new_cols, widened = feed_schema_drift([f1, f2], narrow)
-    assert new_cols == [] and widened == ["score"]
+    new_cols, widened, incompatible = feed_schema_drift([f1, f2], narrow)
+    assert new_cols == [] and widened == ["score"] and incompatible == []
     # no false positive on the narrow file alone
-    assert feed_schema_drift([f1], narrow) == ([], [])
+    assert feed_schema_drift([f1], narrow) == ([], [], [])
+
+
+def test_feed_schema_drift_flags_incompatible_change(tmp_path):
+    """An off-lattice type change (score long -> string) must surface as
+    drift, not crash later inside the parquet scan."""
+    import pytest
+
+    f1 = str(tmp_path / "changes-00000.parquet")
+    f2 = str(tmp_path / "changes-00001.parquet")
+    _write_feed_file(f1, list(range(0, 50)), pa.int64(), 1700000000)
+    tbl = pq.read_table(f1)
+    bad = tbl.set_column(
+        tbl.schema.get_field_index("score"),
+        "score",
+        pa.array([str(i) for i in range(50)], pa.string()),
+    )
+    pq.write_table(bad, f2)
+    from pyspark.sql import types as T
+
+    sch = pq.read_schema(f1)
+    from couch_to_mongo_spark.sources.changes import _spark_type
+
+    known = T.StructType(
+        [T.StructField(n, _spark_type(t), True) for n, t in zip(sch.names, sch.types)]
+    )
+    new_cols, widened, incompatible = feed_schema_drift([f2], known)
+    assert incompatible == ["score"] and new_cols == [] and widened == []
+    # and full re-inference raises the precise error
+    with pytest.raises(TypeError, match="incompatible feed types"):
+        infer_feed_schema(str(tmp_path), sample_limit=None)
 
 
 def test_type_widening_mid_stream_end_to_end(spark, tmp_path):

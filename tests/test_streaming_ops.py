@@ -50,6 +50,51 @@ def test_stateful_conversation_progress(spark, tmp_path):
     assert (m["max_seq"].values == t["max_seq"].values).all()
 
 
+def test_stateful_exact_distinct_turns_across_batches(spark, tmp_path):
+    """n_turns is the EXACT cross-batch distinct count: 8 turns arriving
+    one per micro-batch (turn-disjoint split) must report n_turns=8. The
+    turn-id set lives in the operator state; a running max of per-batch
+    distincts would report 1 here."""
+    import numpy as np
+
+    changes = str(tmp_path / "changes")
+    n = 8
+    pdf = pd.DataFrame(
+        {
+            "seq": np.arange(n, dtype=np.int64),
+            "op": ["i"] * n,
+            "conv_id": ["conv-000000"] * n,
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "_rev": [f"1-{i:08x}" for i in range(n)],
+            "role": ["user"] * n,
+            "text": [f"turn {i}" for i in range(n)],
+            "tool": pd.array([None] * n, dtype="string"),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(range(n), unit="s"),
+        }
+    )
+    from couch_to_mongo_spark.gen import write_change_files
+
+    write_change_files(changes, pdf, n_files=n)
+    stream = read_changes_stream(
+        spark, changes, infer_feed_schema(changes), max_files_per_trigger=1
+    )
+    q = (
+        conversation_progress_stream(stream)
+        .writeStream.format("memory")
+        .queryName("conv_turns_disjoint")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(
+        "SELECT max(n_turns) n_turns, count(*) n_emissions FROM conv_turns_disjoint"
+    ).collect()[0]
+    assert out["n_emissions"] >= 2  # the split really was multi-batch
+    assert out["n_turns"] == n
+
+
 def test_stateful_state_survives_restart(spark, tmp_path):
     """State lives in the checkpoint: a second run over NEW files continues
     the counts instead of restarting from zero."""

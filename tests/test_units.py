@@ -268,3 +268,27 @@ def test_ann_multiprobe_recall_floor(spark):
     r2 = planted_neardup_recall(emb, n_queries=40, probes=2)
     assert r0 <= r1 <= r2
     assert r2 >= 0.9
+
+
+def test_bucket_salt_independent_of_bucket_hash(spark):
+    """files_per_bucket salt must split rows WITHIN a bucket: with the salt
+    derived from the same unseeded hash as the bucket, pmod(h, 4) is
+    constant inside each pmod(h, 16) class (4 | 16), so hot buckets never
+    split. The seeded salt gives >1 distinct salt per bucket."""
+    from pyspark.sql import functions as F
+
+    from couch_to_mongo_spark.operators.dedup import bucket_partitioned_lww
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("conv-"), F.col("id")).alias("conv_id"),
+        (F.col("id") % 5).cast("int").alias("turn_idx"),
+        F.col("id").alias("seq"),
+    )
+    out = bucket_partitioned_lww(
+        df, ["conv_id", "turn_idx"], ["seq"], n_buckets=16, files_per_bucket=4
+    )
+    per_bucket = (
+        out.groupBy("_bucket").agg(F.countDistinct("_salt").alias("ns")).collect()
+    )
+    assert len(per_bucket) == 16
+    assert all(r["ns"] > 1 for r in per_bucket)
