@@ -783,6 +783,73 @@ SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, dist FROM r WHERE rn = 1
 """
 
 
+def q_ivf_train_assign(spark, sf_dir):
+    """TRAINED IVF quantizer (functions/vectors.py kmeans_train +
+    ivf_assign): 3 deterministic Lloyd iterations (lowest-8-ids init,
+    per-iteration 6dp rounding) refine the centroids, then every vector is
+    assigned zero-shuffle. The oracle replays the identical iterations as
+    chained DuckDB CTEs — the training itself is hash-checked cross-engine,
+    not just the plan skeleton."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = V.kmeans_train(emb, k=8, n_iters=3)
+    return V.ivf_assign(emb, centroids=cents)
+
+
+def _ivf_train_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
+    """Generate the DuckDB twin of kmeans_train + ivf_assign: c0 = rounded
+    lowest-k-ids init; each iteration = unrounded-argmin assignment (a/b)
+    then per-(cluster, dim) mean rounded to 6dp (m), empty clusters keep
+    their previous centroid (COALESCE); final assignment argmins the
+    ROUNDED 5dp distances with centroid-order tie-break, exactly like
+    ivf_assign's array_position(min)."""
+    parts = [f"""c0 AS (
+  SELECT c.rk - 1 AS ci, c.vec_id AS cid, p.i - 1 AS pos,
+         ROUND(c.embedding[p.i]::DOUBLE, 6) AS w
+  FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rk
+        FROM embeddings ORDER BY vec_id LIMIT {k}) c
+  CROSS JOIN range(1, {dim + 1}) p(i))"""]
+    for it in range(1, n_iters + 1):
+        parts.append(f"""a{it} AS (
+  SELECT e.vec_id, c.ci,
+         sum((e.embedding[c.pos + 1]::DOUBLE - c.w)
+           * (e.embedding[c.pos + 1]::DOUBLE - c.w)) AS d2
+  FROM embeddings e CROSS JOIN c{it - 1} c
+  GROUP BY e.vec_id, c.ci),
+b{it} AS (
+  SELECT vec_id, ci,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+  FROM a{it}),
+m{it} AS (
+  SELECT b.ci, p.i - 1 AS pos, ROUND(avg(e.embedding[p.i]::DOUBLE), 6) AS w
+  FROM b{it} b JOIN embeddings e USING (vec_id)
+  CROSS JOIN range(1, {dim + 1}) p(i)
+  WHERE b.rn = 1
+  GROUP BY b.ci, p.i),
+c{it} AS (
+  SELECT prev.ci, prev.cid, prev.pos, COALESCE(m.w, prev.w) AS w
+  FROM c{it - 1} prev
+  LEFT JOIN m{it} m ON m.ci = prev.ci AND m.pos = prev.pos)""")
+    parts.append(f"""af AS (
+  SELECT e.vec_id, c.ci, c.cid,
+         sum((e.embedding[c.pos + 1]::DOUBLE - c.w)
+           * (e.embedding[c.pos + 1]::DOUBLE - c.w)) AS d2
+  FROM embeddings e CROSS JOIN c{n_iters} c
+  GROUP BY e.vec_id, c.ci, c.cid),
+rf AS (
+  SELECT vec_id, cid, ROUND(sqrt(d2), 5) AS dist,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY ROUND(sqrt(d2), 5), ci) AS rn
+  FROM af)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, dist "
+          "FROM rf WHERE rn = 1"
+    )
+
+
+SQL_IVF_TRAIN = _ivf_train_sql()
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Binary media payload → mapInPandas decode (deterministic stub codec)."""
     media = attach_fake_payload(_t(spark, sf_dir, "documents"))
@@ -895,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": q_neardup_cosine,
         "lsh_ann_buckets": q_lsh_ann_buckets,
         "ivf_assign": q_ivf_assign,
+        "ivf_train_assign": q_ivf_train_assign,
         "multimodal_decode": q_multimodal_decode,
         "engine_replay": q_engine_replay,
     }
@@ -935,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_cosine": SQL_NEARDUP,
         "lsh_ann_buckets": SQL_LSH_ANN,
         "ivf_assign": SQL_IVF_ASSIGN,
+        "ivf_train_assign": SQL_IVF_TRAIN,
         "multimodal_decode": SQL_MULTIMODAL,
         # round 2: the full engine path is oracle-checked too — final MOR
         # state after merge+compaction+tombstones IS SQL-expressible

@@ -262,27 +262,102 @@ def planted_neardup_recall(
 # ---------------------------------------------------------------------------
 
 
+def _l2sq(v: Column, lits: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            v,
+            F.array(*[F.lit(float(x)) for x in lits]),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_frac: float | None = None,
+    round_to: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd k-means over the embedding column, as DataFrame
+    ops — the centroid refinement `ivf_assign` consumes.
+
+    - init: the k lowest-id vectors (deterministic, no RNG);
+    - each iteration: one distributed pass — nearest-centroid assignment
+      (same codegen'd distance expression as `ivf_assign`, zero shuffle)
+      then per-(cluster, dimension) mean via posexplode + hash agg; only
+      the k×dim aggregated means are collected (bounded driver data);
+    - centroids are rounded to `round_to` decimals each iteration so the
+      result is reproducible across partitionings up to aggregation-order
+      float noise below the rounding grain;
+    - ``sample_frac`` trains on a seeded sample — at 10^10 rows Lloyd on
+      a 10^-4 sample converges to the same coarse quantizer for a fraction
+      of the cost; assignment still runs over everything.
+
+    Returns [(centroid_id, vector)] with centroid_id = init vector's id,
+    kept stable across iterations (empty clusters keep their previous
+    position).
+    """
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    if sample_frac is not None:
+        base = base.sample(fraction=sample_frac, seed=11)
+    base = base.persist()
+    try:
+        init = base.orderBy(id_col).limit(k).collect()
+        ids = [int(r[0]) for r in init]
+        cents = [[round(float(x), round_to) for x in r[1]] for r in init]
+        for _ in range(n_iters):
+            darr = F.array(*[_l2sq(F.col("_v"), c) for c in cents])
+            best = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+            ex = base.select(
+                best.alias("_c"), F.posexplode(F.col("_v")).alias("pos", "val")
+            )
+            rows = (
+                ex.groupBy("_c", "pos").agg(F.avg("val").alias("m")).collect()
+            )
+            new = [list(c) for c in cents]
+            dims: dict[int, dict[int, float]] = {}
+            for r in rows:
+                dims.setdefault(int(r["_c"]), {})[int(r["pos"])] = float(r["m"])
+            for ci, byp in dims.items():
+                new[ci] = [
+                    round(byp.get(p, cents[ci][p]), round_to)
+                    for p in range(len(cents[ci]))
+                ]
+            cents = new
+        return list(zip(ids, cents))
+    finally:
+        base.unpersist()
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 5,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid.
 
-    Centroids are the `n_centroids` lowest-id vectors — deterministic, so
-    the assignment is an exact DuckDB oracle (a k-means refinement would
-    move centroids but not the plan shape). Plan: broadcast the centroid
-    array (tiny), one codegen'd pass computing `n_centroids` distances per
-    row, `array_position` of the min — no shuffle at all. At 100 TB the
-    assignment is the partition key: each IVF list is a bucket, queries
-    probe `nprobe` lists instead of scanning the table.
+    ``centroids`` (from :func:`kmeans_train`) supplies a trained quantizer;
+    default centroids are the `n_centroids` lowest-id vectors —
+    deterministic, so the assignment is an exact DuckDB oracle (k-means
+    refinement moves the centroids but not the plan shape). Plan either
+    way: broadcast the centroid array (tiny literals), one codegen'd pass
+    computing `n_centroids` distances per row, `array_position` of the min
+    — no shuffle at all. At 100 TB the assignment is the partition key:
+    each IVF list is a bucket, queries probe `nprobe` lists instead of
+    scanning the table.
 
     Output: (id, centroid_id, dist) where dist is the L2 distance to the
     assigned centroid (rounded for cross-engine parity).
     """
-    cents = (
+    cents = centroids if centroids is not None else (
         df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
     v = F.col(vec_col).cast("array<double>")
@@ -319,17 +394,21 @@ def ivf_candidates(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(qid, vec_id) ANN candidates via IVF: each query probes its `nprobe`
     nearest centroid lists. Query side is tiny (broadcast); the base-side
     IVF assignment is the bucketed big side — at scale it is materialized
-    once and reused across queries."""
-    base = ivf_assign(df, n_centroids, vec_col, id_col)
+    once and reused across queries. Pass ``centroids`` from
+    :func:`kmeans_train` for a trained quantizer."""
+    base = ivf_assign(df, n_centroids, vec_col, id_col, centroids=centroids)
     # per-query nprobe nearest centroids: compute all centroid distances
     # for the query rows only (tiny), rank, keep nprobe
     from pyspark.sql import Window
 
-    cents = df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    cents = centroids if centroids is not None else (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
     qv = F.col("qv").cast("array<double>")
     rows = []
     for c in cents:
@@ -363,3 +442,46 @@ def ivf_candidates(
         .select("qid", id_col)
         .distinct()
     )
+
+
+def ivf_recall_at_k(
+    df: DataFrame,
+    k: int = 10,
+    n_queries: int = 20,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> float:
+    """Candidate-set recall@k of the IVF path vs brute-force cosine ground
+    truth, averaged over the `n_queries` lowest ids — the IVF twin of
+    :func:`ann_recall_at_k`, for measuring a trained quantizer
+    (`kmeans_train`) on clustered data."""
+    from pyspark.sql import Window
+
+    ids = [r[0] for r in df.select(id_col).orderBy(id_col).limit(n_queries).collect()]
+    q = df.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    j = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col("qid")
+    )
+    scored = j.select(
+        "qid",
+        F.col(id_col),
+        cosine(
+            F.col(vec_col).cast("array<double>"), F.col("qv").cast("array<double>")
+        ).alias("cs"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), F.col(id_col))
+    truth = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    cand = ivf_candidates(
+        df, q, n_centroids, nprobe, vec_col, id_col, centroids=centroids
+    )
+    hits = truth.join(cand, ["qid", id_col]).count()
+    return hits / (len(ids) * k)
