@@ -851,7 +851,10 @@ SQL_IVF_TRAIN = _ivf_train_sql()
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Binary media payload → mapInPandas decode (deterministic stub codec)."""
+    """Binary media payload → mapInPandas decode. The codec sniffs real
+    formats (stdlib PNG/JPEG/WAV, PIL when present); the synthetic fixture
+    payloads are none of those, so they take the deterministic stub path
+    the oracle mirrors."""
     media = attach_fake_payload(_t(spark, sf_dir, "documents"))
     return decode_media(media)
 

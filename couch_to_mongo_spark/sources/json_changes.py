@@ -105,4 +105,75 @@ class DeadLetterLog:
         return rows
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "*", "*.parquet"))
+        # mergeSchema: the log mixes producers (raw-JSON dead letters vs
+        # poison-quarantined typed rows) with different column sets
+        return spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(self.path, "*", "*.parquet")
+        )
+
+    def summary(self, spark: SparkSession) -> DataFrame:
+        """Per-(run_id, batch_id, reason) quarantine counts — the operator's
+        triage view."""
+        df = self.read(spark)
+        reason_cols = [c for c in ("reason", "_poison_reason") if c in df.columns]
+        reason = (
+            F.coalesce(*[F.col(c) for c in reason_cols])
+            if reason_cols
+            else F.lit(None).cast("string")
+        )
+        return (
+            df.groupBy("run_id", "batch_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sort_array(F.collect_set(reason)).alias("reasons"),
+            )
+            .orderBy("run_id", "batch_id")
+        )
+
+    def rows_for(
+        self, spark: SparkSession, run_id: str, batch_id: int
+    ) -> DataFrame:
+        return self.read(spark).where(
+            (F.col("run_id") == F.lit(run_id)) & (F.col("batch_id") == F.lit(batch_id))
+        )
+
+    def replay_into(
+        self,
+        table,
+        run_id: str,
+        batch_id: int,
+        transform_after_dedup=None,
+        new_run_id: str | None = None,
+        dead_letter=None,
+    ):
+        """Re-apply one batch's quarantined rows after the kernel is fixed —
+        closes the poison-isolation loop (the reference's analogue is
+        re-running the migration for the logged bad _ids, Mongo.java:250-261).
+
+        Raw-JSON dead letters are re-parsed first; poison-quarantined typed
+        rows are replayed as-is (their values were never transformed).
+        The merge runs under a fresh run_id (default ``dlq-<run>-<batch>``)
+        so fencing of the original stream is untouched and the replay is
+        itself idempotent. Pass ``dead_letter`` to re-quarantine rows that
+        still fail the (supposedly fixed) transform."""
+        spark = table.spark
+        df = self.rows_for(spark, run_id, batch_id)
+        if "raw" in df.columns and "seq" not in df.columns:
+            df, _ = parse_json_changes(df.select(F.col("raw").alias("value")))
+        drop = [
+            c
+            for c in ("_poison_reason", "reason", "raw", "run_id", "batch_id",
+                      "rev_gen", "_src", "_salt", "_bucket")
+            if c in df.columns
+        ]
+        df = df.drop(*drop)
+        from couch_to_mongo_spark.operators.merge import merge_batch
+
+        return merge_batch(
+            table,
+            df,
+            run_id=new_run_id or f"dlq-{run_id}-{batch_id}",
+            batch_id=0,
+            transform_after_dedup=transform_after_dedup,
+            dead_letter=dead_letter,
+        )

@@ -77,6 +77,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep-last", type=int, default=10)
     p.add_argument("--grace-seconds", type=float, default=3600.0)
 
+    p = sub.add_parser(
+        "dead-letter", help="quarantine ops: list / inspect / replay"
+    )
+    p.add_argument("action", choices=["list", "inspect", "replay"])
+    p.add_argument("--table", required=True)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--batch-id", type=int, default=None)
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument(
+        "--no-normalize", action="store_true",
+        help="replay without the text-normalizer kernel",
+    )
+
     args = ap.parse_args(argv)
     spark = _spark(f"c2m-{args.cmd}")
 
@@ -135,6 +148,41 @@ def main(argv: list[str] | None = None) -> int:
         expired = table.expire_snapshots(keep_last=args.keep_last)
         orphans = table.gc_orphans(grace_seconds=args.grace_seconds)
         print(json.dumps({**expired, "orphans_reclaimed": len(orphans)}))
+    elif args.cmd == "dead-letter":
+        import os
+
+        from couch_to_mongo_spark.sources.json_changes import DeadLetterLog
+        from couch_to_mongo_spark.tableformat import LakeTable
+
+        log = DeadLetterLog(os.path.join(args.table, "_dead_letter"))
+        if args.action == "list":
+            for r in log.summary(spark).collect():
+                print(json.dumps(r.asDict()))
+        elif args.action == "inspect":
+            if args.run_id is None or args.batch_id is None:
+                ap.error("inspect requires --run-id and --batch-id")
+            rows = log.rows_for(spark, args.run_id, args.batch_id).limit(args.limit)
+            for r in rows.collect():
+                print(json.dumps({k: repr(v) for k, v in r.asDict().items()}))
+        else:  # replay
+            if args.run_id is None or args.batch_id is None:
+                ap.error("replay requires --run-id and --batch-id")
+            transform = None
+            if not args.no_normalize:
+                from couch_to_mongo_spark.functions.normalize import normalize_kernel
+                from couch_to_mongo_spark.operators.poison import isolate_poison
+
+                def transform(df):  # noqa: E731 - mirrors CdcPipeline's wiring
+                    return isolate_poison(df, normalize_kernel)
+
+            res = log.replay_into(
+                LakeTable(spark, args.table),
+                args.run_id,
+                args.batch_id,
+                transform_after_dedup=transform,
+                dead_letter=log,
+            )
+            print(json.dumps(res.to_lineage()))
     elif args.cmd == "state":
         from couch_to_mongo_spark.operators.merge import read_state
         from couch_to_mongo_spark.tableformat import LakeTable
