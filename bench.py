@@ -124,6 +124,32 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+# headline queries re-timed at the sf1 tier (10x sf0.1, generated on
+# demand into tmpfs by couch_to_mongo_spark/gen_sf.py): at sf0.1 most
+# queries are fixed-overhead-dominated, so sf1 carries the real
+# round-over-round perf signal for the data-heavy operators
+SF1_HEADLINE = [
+    "cdc_fold", "dedup_exact", "doc_fingerprint", "minhash_lsh_buckets",
+    "simhash", "ngram_jaccard_pairs", "ngram_jaccard_capped",
+    "q1_pricing", "q3_shipping", "engine_replay",
+]
+
+
+def run_sf1_bench(spark, sf1_dir: str) -> dict:
+    import __spark_entry__ as E
+
+    from couch_to_mongo_spark.gen_sf import generate_sf
+
+    generate_sf(dst_dir=sf1_dir)
+    qs = E.queries()
+    out = {}
+    for name in SF1_HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
 def run_ann_recall(spark, sf_dir: str) -> dict:
     """Recall evidence for the ANN scale path (VERDICT r01 next-#9): planted
     near-duplicate recall@1 per probe count, plus the top-k-among-noise
@@ -143,7 +169,7 @@ def run_ann_recall(spark, sf_dir: str) -> dict:
     return out
 
 
-def check_regressions(queries: dict[str, float]) -> dict:
+def check_regressions(queries: dict[str, float], key: str = "queries") -> dict:
     """Compare against the most recent BENCH_r*.json: any query slower than
     REGRESSION_FACTOR x its prior time is flagged. Informational (the
     sandbox has multi-minute interference storms; see BENCH/BASELINE.md) —
@@ -156,7 +182,7 @@ def check_regressions(queries: dict[str, float]) -> dict:
     try:
         with open(priors[-1]) as fh:
             prior = json.load(fh)
-        prior_q = prior.get("parsed", prior).get("queries", {})
+        prior_q = prior.get("parsed", prior).get(key, {})
     except Exception:
         return {}
     regressions = {
@@ -194,6 +220,10 @@ def main():
     ap.add_argument("--feed", default=None, help="reuse an existing feed dir")
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--no-queries", action="store_true")
+    ap.add_argument("--no-sf1", action="store_true",
+                    help="skip the sf1-tier headline query block")
+    ap.add_argument("--sf1-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", "/dev/shm/c2m_sf1"))
     ap.add_argument("--scaling", action="store_true", help="run local[N] vs local[4N]")
     ap.add_argument("--scale-n", type=int, default=2, help="N for the N vs 4N pair")
     ap.add_argument("--scale-events", type=int, default=None,
@@ -243,6 +273,17 @@ def main():
         if reg:
             result["regressions"] = reg
         result["ann_recall"] = run_ann_recall(spark, args.sf_dir)
+        if not args.no_sf1:
+            result["queries_sf1"] = run_sf1_bench(spark, args.sf1_dir)
+            reg1 = check_regressions(result["queries_sf1"], key="queries_sf1")
+            if reg1 and reg1.get("flagged"):
+                result["regressions_sf1"] = reg1
+            result["sf1_note"] = (
+                "sf1 = 10x sf0.1 (gen_sf.py: key-shifted replication; fresh "
+                "documents corpus with scale-appropriate vocabulary, 2% "
+                "planted near-dups, 1% boilerplate group beyond the "
+                "max_doc_freq cap)"
+            )
 
     if scaling is not None:
         result["scaling"] = scaling

@@ -282,47 +282,68 @@ def ngram_jaccard_pairs(
             F.array_distinct(shingles_from_tokens(F.col("_tk"), n))
         ).alias("sh"),
     ).select(F.col(id_col), hash15(F.col("sh")).alias("sh"))
-    sizes = d.select(
-        F.col(id_col),
-        F.array_size(
-            F.array_distinct(shingles_from_tokens(F.col("_tk"), n))
-        ).cast("long").alias("n_sh"),
-    )
     if max_doc_freq is not None:
-        hot = (
+        # TRUE inverted-list plan, enabled by the cap: ONE shuffle groups
+        # the index into per-shingle posting lists, the df cap filters
+        # them (and bounds every list at max_doc_freq ids — memory-safe by
+        # construction, the skew guard the cap exists for), then the
+        # id-pair expansion happens LOCALLY per list via array HOFs and
+        # the filtered-universe sizes fall out of the same lists. The
+        # previous formulation (broadcast hot set + anti-join + subtracted
+        # sizes) re-derived the exploded index in every branch — column
+        # pruning makes the subtrees non-identical, so exchange reuse
+        # never fires and the tokenize+hash work ran up to 10x (measured
+        # slower than the uncapped join it was meant to guard at sf1).
+        # The lists are array_sort'ed in their own projection BEFORE the
+        # pair HOF (lambda bodies re-evaluate unbound subexpressions per
+        # element), and sorting makes id_a < id_b structural.
+        inv = (
             sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > max_doc_freq)
-            .select("sh")
+            .agg(F.collect_list(F.col(id_col)).alias("_ids0"))
+            .where(F.size("_ids0") <= max_doc_freq)
+            .select(F.array_sort("_ids0").alias("_ids"))
         )
-        # Sizes over the FILTERED universe = array_size minus the per-doc
-        # count of hot shingles (shingles are distinct per doc, so the
-        # subtraction is exact). The hot-hit count joins/aggregates only
-        # the hot OCCURRENCES (tiny), where re-aggregating the whole
-        # filtered index would pay a second full-index shuffle — measured
-        # slower than the uncapped path it was meant to guard. `hot`
-        # appears in two broadcasts but is one identical subplan, so
-        # Spark's exchange reuse computes it once.
-        hot_hits = (
-            sh.join(F.broadcast(hot), "sh")
+        pairs = F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        inter = (
+            inv.select(F.explode(pairs).alias("_p"))
+            .select("_p.id_a", "_p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sizes = (
+            inv.select(F.explode(F.col("_ids")).alias(id_col))
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("_n_hot"))
+            .agg(F.count(F.lit(1)).alias("n_sh"))
         )
-        sizes = sizes.join(hot_hits, id_col, "left").select(
+    else:
+        # uncapped: classic index self-join; sizes free via array_size (no
+        # second explode). Kept join-based — without a df cap, posting
+        # lists are unbounded, and the sort-merge self-join streams skewed
+        # shingles instead of materializing their lists.
+        sizes = d.select(
             F.col(id_col),
-            (F.col("n_sh") - F.coalesce(F.col("_n_hot"), F.lit(0))).alias("n_sh"),
+            F.array_size(
+                F.array_distinct(shingles_from_tokens(F.col("_tk"), n))
+            ).cast("long").alias("n_sh"),
         )
-        # hot set is tiny by construction (only ultra-frequent shingles):
-        # broadcast anti-join, no extra shuffle of the index
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, F.col("a.sh") == F.col("b.sh"))
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, F.col("a.sh") == F.col("b.sh"))
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
