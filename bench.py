@@ -389,6 +389,9 @@ Two measured pathologies make naive single-run numbers garbage here:
 
 Reference single-node baseline (BASELINE.md): ~571 docs/s best case.
 This engine, sustained: {hi['events_per_sec']:,} events/sec at local[{n4}].
+
+Commit-METADATA scaling (snapshot manifests, 10^4-commit replay):
+see BENCH/METADATA.md (`python scripts/bench_metadata.py`).
 """
         )
 
