@@ -627,6 +627,37 @@ WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.4
 """
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup pairs closed into canonical dedup groups: transitive closure
+    of the Jaccard pair graph via the distributed large-star/small-star
+    fixpoint (operators/components.py), singletons grouped as themselves.
+    Oracle: DuckDB recursive CTE computing min-reachable-label."""
+    return X.dedup_groups(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s FROM docs),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+          WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
+"""
+
+
 def q_simhash(spark, sf_dir):
     return X.simhash16_df(_t(spark, sf_dir, "documents"))
 
@@ -957,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_buckets": q_minhash_lsh,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
@@ -998,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_buckets": SQL_MINHASH_LSH,
         "ngram_jaccard_pairs": SQL_JACCARD,
         "ngram_jaccard_capped": SQL_JACCARD_CAPPED,
+        "dedup_groups": SQL_DEDUP_GROUPS,
         "simhash": SQL_SIMHASH,
         "lang_id": SQL_LANG,
         "quality_score": SQL_QUALITY,

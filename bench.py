@@ -110,17 +110,24 @@ def run_cdc_bench(
     return walls, n_events / min(walls)
 
 
-def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+def run_query_bench(spark, sf_dir: str, passes: int = 2) -> dict[str, float]:
     """Time EVERY driver-contract query at sf_dir (noop sink: full execution,
-    no collect)."""
+    no collect). Each query runs `passes` times and reports the MIN — the
+    host's random multi-second throttling storms (see BENCH/BASELINE.md)
+    otherwise hit a contiguous window of single-shot timings and surface as
+    phantom 2-6x 'regressions' in the round-over-round gate."""
     import __spark_entry__ as E
 
     out = {}
     for name, fn in E.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(passes, 1)):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        out[name] = round(best, 3)
     return out
 
 
@@ -144,9 +151,13 @@ def run_sf1_bench(spark, sf1_dir: str) -> dict:
     qs = E.queries()
     out = {}
     for name in SF1_HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: same storm rejection as run_query_bench
+            t0 = time.time()
+            qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        out[name] = round(best, 3)
     return out
 
 

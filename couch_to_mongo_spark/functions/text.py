@@ -362,6 +362,34 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Canonical dedup groups: near-dup *pairs* (n-gram Jaccard >= threshold)
+    closed into connected components — group_id = min doc_id reachable
+    through the pair graph, singletons grouped as themselves.
+
+    This is the dedup endgame a pair list alone doesn't give you: A~B and
+    B~C without A~C must still collapse to one keeper. The transitive
+    closure runs as the distributed large-star/small-star fixpoint
+    (operators/components.py) — no driver-side union-find, so a 100 TB
+    corpus with chained boilerplate families groups correctly.
+    Returns (doc_id, group_id) for EVERY input document."""
+    from ..operators.components import attach_components, connected_components
+
+    pairs = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, n=n,
+        threshold=threshold, max_doc_freq=max_doc_freq,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return attach_components(df, comp, id_col=id_col, out_col="group_id")
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword / digit features + composite score.
     Token array materialized before the stopword-filter HOF (see
