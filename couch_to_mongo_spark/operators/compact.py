@@ -28,9 +28,21 @@ def compact(
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     purge_tombstones: bool = False,
     buckets: list[int] | None = None,
+    sort_within_bucket: bool = True,
 ) -> dict:
     """Rewrite every bucket holding more than ``max_files_per_bucket``
     files to a single LWW-resolved file. Returns {bucket: n_files_before}.
+
+    ``sort_within_bucket`` (default on) key-orders each rewritten file via
+    ``sortWithinPartitions`` — a NARROW op on the partitions the rewrite
+    already owns, so it adds zero shuffles. Payoff at scale: parquet
+    row-group min/max stats on (conv_id, turn_idx) become tight instead of
+    whole-file-wide, so point lookups and key-range scans skip row groups
+    inside the pruned bucket (the scan-time twin of the bucket pruning the
+    table already does), and runs of equal conv_id compress better. MOR
+    delta files stay write-order (append latency first); compaction is
+    where the table earns its read layout — the same split Iceberg makes
+    with its sort-order spec applying to rewrites.
     """
     snap = table.snapshot()
     if buckets is None:
@@ -49,6 +61,10 @@ def compact(
         df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
     df = df.withColumn(BUCKET_COL, bucket_expr(key_cols[0], snap.n_buckets))
     df = df.repartition(len(buckets), F.col(BUCKET_COL))
+    if sort_within_bucket:
+        # narrow (per-partition) sort; partitionBy(BUCKET_COL) in the write
+        # preserves intra-partition order per emitted file
+        df = df.sortWithinPartitions(*key_cols)
 
     new_files = table.write_bucketed(
         df, snapshot_hint=f"c{snap.version + 1:08d}", n_buckets=snap.n_buckets

@@ -472,6 +472,7 @@ class LakeTable:
         max_retries: int = 10,
         new_file_stats: dict[str, list] | None = None,
         backoff_base: float = 0.02,
+        new_n_buckets: int | None = None,
     ) -> Snapshot:
         """Publish a new snapshot with optimistic-concurrency rebase.
 
@@ -491,6 +492,12 @@ class LakeTable:
           did, its rows would be silently dropped, so we raise
           :class:`CommitConflict` for the caller to re-run.
         """
+        if new_n_buckets is not None and (append or replaced_files is not None):
+            raise ValueError(
+                "new_n_buckets (bucket rescale) requires strict-replace "
+                "semantics: the whole file layout is re-keyed, so partial "
+                "commits cannot be rebased onto it"
+            )
         base = self.snapshot(base_version) if base_version is not None else self.snapshot()
         touched = set(touched_buckets)
         for attempt in range(max_retries + 1):
@@ -546,7 +553,7 @@ class LakeTable:
                 snapshot_id=prev.snapshot_id + 1,
                 parent=prev.version,
                 schema_json=json.loads(new_schema.json()) if new_schema is not None else prev.schema_json,
-                n_buckets=prev.n_buckets,
+                n_buckets=new_n_buckets if new_n_buckets is not None else prev.n_buckets,
                 files=files,
                 lineage=lineage,
                 fences=fences,

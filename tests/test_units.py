@@ -175,6 +175,18 @@ def test_compaction_folds_files_and_preserves_state(spark, tmp_path):
         expected_state(pdf),
     )
 
+    # sort_within_bucket (default): every compacted file is key-ordered, so
+    # parquet row-group min/max on the key stays tight for scan-time skipping
+    import os as _os
+
+    import pandas as _pd
+
+    for fl in table.snapshot().files.values():
+        for rel in fl:
+            f = _pd.read_parquet(_os.path.join(table.path, rel))
+            keys = list(zip(f["conv_id"], f["turn_idx"]))
+            assert keys == sorted(keys), f"compacted file {rel} not key-sorted"
+
     # tombstone purge drops deleted rows physically
     compact(table, max_files_per_bucket=0, purge_tombstones=True,
             buckets=[int(b) for b in table.snapshot().files])
