@@ -136,14 +136,15 @@ def attach_components(
     out_col: str = "group_id",
 ) -> DataFrame:
     """Join the component mapping onto the full id universe: singletons (ids
-    in no pair) become their own group. The pair graph is tiny relative to
-    the corpus (dup rate ≪ 1 at 100 TB), so the mapping side broadcasts."""
+    in no pair) become their own group. No forced broadcast: web-scale dup
+    rates run 30-50%, so the mapping can be O(corpus) — AQE upgrades the
+    join to broadcast-hash at runtime when the mapping is actually small."""
     comp = components.select(
         F.col("id").alias(id_col), F.col("component").alias(out_col)
     )
     return (
         ids.select(id_col)
-        .join(F.broadcast(comp), id_col, "left")
+        .join(comp, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col(out_col), F.col(id_col)).alias(out_col),

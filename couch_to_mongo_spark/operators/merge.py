@@ -106,6 +106,7 @@ def merge_batch(
     mode: str = "mor",
     transform_after_dedup=None,
     dead_letter=None,
+    cdf=None,
 ) -> MergeResult:
     """Apply one change batch to the table, exactly-once under replay.
 
@@ -122,6 +123,12 @@ def merge_batch(
     mode='cow' (copy-on-write): rewrite touched buckets to contain only
     winners — reads pay nothing, writes pay O(touched buckets). Also used
     as the compaction kernel.
+
+    ``cdf`` (a :class:`~couch_to_mongo_spark.operators.cdf.ChangeFeedLog`):
+    emit row-level semantic changes (insert / update pre+post images /
+    delete) for this batch — O(changed rows), derived from the same
+    pre-state the stats classification reads. Forces the stats-shaped path
+    (pre-images need the touched buckets' live winners).
     """
     if table.is_batch_committed(run_id, batch_id):
         return MergeResult(skipped=True)
@@ -136,7 +143,7 @@ def merge_batch(
         b = b.withColumn(rev_col, F.lit(None).cast("string"))
     b = with_rev_gen(b, rev_col=rev_col)
     order_in_batch = [seq_col, "rev_gen", rev_col]
-    fast_mor = mode == "mor" and not collect_stats
+    fast_mor = mode == "mor" and not collect_stats and cdf is None
     raw_range = None
     if collect_stats and not already_deduped:
         # lineage records the *source* seq range (pre-dedup), the analogue of
@@ -243,27 +250,46 @@ def merge_batch(
             return MergeResult(skipped=False, snapshot_id=new_snap.snapshot_id)
 
         existing = None
-        if collect_stats or mode != "mor":
+        if collect_stats or mode != "mor" or cdf is not None:
             existing = table.read_buckets(touched)
 
         stats_row = None
+        ex_keys = None
+        if collect_stats or cdf is not None:
+            # LWW-resolved LIVE pre-state of the touched buckets. Live = the
+            # RESOLVED winner is non-deleted (not "any version non-deleted"):
+            # after delete-then-reinsert the reinsert must classify as an
+            # insert, and a delete of an already-tombstoned key must not
+            # count as a delete. Narrow (keys+engine) when only stats need
+            # it; full width when CDF pre-images do.
+            src = (
+                align_to_schema(existing, evolved)
+                if cdf is not None
+                else existing.select(*key_cols, SEQ_COL, REV_COL, DELETED_COL)
+            )
+            ex = with_rev_gen(src, rev_col=REV_COL)
+            ex = lww_dedup(ex, key_cols, [SEQ_COL, "rev_gen", REV_COL]).drop("rev_gen")
+            ex_live = ex.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            ex_keys = ex_live.select(*key_cols).withColumn("_m", F.lit(1))
+        if cdf is not None:
+            from couch_to_mongo_spark.operators.cdf import classify_changes
+
+            changes = classify_changes(
+                align_to_schema(b, evolved),
+                ex_live,
+                list(key_cols),
+                DELETED_COL,
+                [f.name for f in evolved.fields],
+                run_id,
+                batch_id,
+            )
+            # written BEFORE the commit to a deterministic per-batch dir
+            # (overwrite): crash-replay rewrites identical content; orphan
+            # rows of a never-committed batch are excluded by fence-aware
+            # reads (ChangeFeedLog.read committed_only)
+            cdf.append(changes, run_id, batch_id)
         if collect_stats:
-            # one-pass classification of batch rows against existing live
-            # keys. Live = the LWW-RESOLVED winner is non-deleted (not "any
-            # version non-deleted"): after delete-then-reinsert the reinsert
-            # must classify as an insert, and a delete of an already-
-            # tombstoned key must not count as a delete.
-            ex = with_rev_gen(existing, rev_col=REV_COL)
-            ex = lww_dedup(
-                ex.select(*key_cols, SEQ_COL, "rev_gen", REV_COL, DELETED_COL),
-                key_cols,
-                [SEQ_COL, "rev_gen", REV_COL],
-            )
-            ex_keys = (
-                ex.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-                .select(*key_cols)
-                .withColumn("_m", F.lit(1))
-            )
+            # one-pass classification of batch rows against existing live keys
             cls = b.select(*key_cols, DELETED_COL, SEQ_COL).join(ex_keys, key_cols, "left")
             is_del = F.col(DELETED_COL)
             matched = F.col("_m").isNotNull()

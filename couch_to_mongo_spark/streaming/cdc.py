@@ -97,6 +97,7 @@ class CdcPipeline:
         compact_async: bool = True,
         quarantine_poison: bool = False,
         transform_kernel=None,
+        emit_cdf: bool = False,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -127,6 +128,13 @@ class CdcPipeline:
             from couch_to_mongo_spark.sources.json_changes import DeadLetterLog
 
             self.dead_letter = DeadLetterLog(os.path.join(table_path, "_dead_letter"))
+        # semantic change feed (insert / update pre+post / delete per batch):
+        # downstream CDC-out for consumers that can't fold raw MOR deltas
+        self.cdf = None
+        if emit_cdf:
+            from couch_to_mongo_spark.operators.cdf import ChangeFeedLog
+
+            self.cdf = ChangeFeedLog(spark, os.path.join(table_path, "_changes"))
 
         self.run_id = _pin_run_id(checkpoint_dir)
         self.table = self._ensure_table()
@@ -189,6 +197,7 @@ class CdcPipeline:
             mode=self.mode,
             transform_after_dedup=transform,
             dead_letter=self.dead_letter,
+            cdf=self.cdf,
         )
         if res.skipped:
             self.batches_fenced += 1

@@ -1,0 +1,142 @@
+"""Change data feed (operators/cdf.py): folding the emitted semantic
+changes must reconstruct the table state; pre-images must match the
+pre-batch state; counts must agree with merge lineage; orphan rows of
+never-committed batches must be excluded by fence-aware reads."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from couch_to_mongo_spark.gen import make_changes_df
+from couch_to_mongo_spark.operators.cdf import ChangeFeedLog
+from couch_to_mongo_spark.operators.merge import (
+    merge_batch,
+    read_state,
+    with_engine_schema,
+)
+from couch_to_mongo_spark.oracle import assert_state_parity, expected_state
+from couch_to_mongo_spark.schemas import TRANSCRIPT_SCHEMA
+from couch_to_mongo_spark.tableformat import LakeTable
+
+
+def _setup(spark, path, n_events=1500, seed=61):
+    table = LakeTable.create(
+        spark, str(path / "t"), with_engine_schema(TRANSCRIPT_SCHEMA), n_buckets=4
+    )
+    cdf = ChangeFeedLog(spark, str(path / "cdf"))
+    pdf = make_changes_df(n_events=n_events, n_convs=12, seed=seed, delete_frac=0.08)
+    results = []
+    for i, lo in enumerate(range(0, len(pdf), 500)):
+        results.append(
+            merge_batch(
+                table,
+                spark.createDataFrame(pdf.iloc[lo : lo + 500]),
+                run_id="r",
+                batch_id=i,
+                cdf=cdf,
+            )
+        )
+    return table, cdf, pdf, results
+
+
+def _fold(changes: pd.DataFrame) -> dict:
+    """Apply the feed in (batch, change) order to an empty dict of keys."""
+    state: dict = {}
+    for _, row in changes.sort_values(["_batch_id"]).iterrows():
+        k = (row["conv_id"], row["turn_idx"])
+        t = row["_change_type"]
+        if t in ("insert", "update_postimage"):
+            state[k] = row["text"]
+        elif t == "delete":
+            state.pop(k, None)
+    return state
+
+
+def test_cdf_fold_reconstructs_table_state(spark, tmp_path):
+    table, cdf, pdf, _ = _setup(spark, tmp_path)
+    feed = cdf.read(table).toPandas()
+    assert set(feed["_change_type"]) <= {
+        "insert", "update_preimage", "update_postimage", "delete"
+    }
+    folded = _fold(feed)
+    state = read_state(table).toPandas()
+    assert {(r["conv_id"], r["turn_idx"]) for _, r in state.iterrows()} == set(folded)
+    for _, r in state.iterrows():
+        assert folded[(r["conv_id"], r["turn_idx"])] == r["text"]
+    # sanity against the independent oracle too
+    assert_state_parity(
+        state.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        expected_state(pdf, normalize=False),
+    )
+
+
+def test_cdf_counts_match_lineage_and_preimages_match_prior_state(spark, tmp_path):
+    table, cdf, pdf, results = _setup(spark, tmp_path)
+    feed = cdf.read(table).toPandas()
+    for i, res in enumerate(results):
+        fb = feed[feed["_batch_id"] == i]
+        assert (fb["_change_type"] == "insert").sum() == res.n_inserts, i
+        assert (fb["_change_type"] == "update_postimage").sum() == res.n_updates, i
+        assert (fb["_change_type"] == "update_preimage").sum() == res.n_updates, i
+        assert (fb["_change_type"] == "delete").sum() == res.n_deletes, i
+
+    # pre-images of batch k == folded state through batch k-1
+    last = feed["_batch_id"].max()
+    prior = _fold(feed[feed["_batch_id"] < last])
+    pre = feed[(feed["_batch_id"] == last) & (feed["_change_type"] == "update_preimage")]
+    assert len(pre) > 0
+    for _, row in pre.iterrows():
+        assert prior[(row["conv_id"], row["turn_idx"])] == row["text"]
+
+
+def test_streaming_pipeline_emits_cdf(spark, tmp_path):
+    """emit_cdf=True on the streaming pipeline: the feed written during an
+    availableNow replay folds back to the final table state (text is
+    normalized by the pipeline, so compare against the normalized table)."""
+    from couch_to_mongo_spark.gen import generate_changes
+    from couch_to_mongo_spark.streaming.cdc import CdcPipeline
+
+    generate_changes(
+        str(tmp_path / "changes"), n_events=1500, n_convs=20, seed=63, n_files=3
+    )
+    pipe = CdcPipeline(
+        spark,
+        table_path=str(tmp_path / "table"),
+        changes_dir=str(tmp_path / "changes"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4,
+        max_files_per_trigger=1,
+        emit_cdf=True,
+    ).run_available()
+    feed = pipe.cdf.read(pipe.table).toPandas()
+    assert len(feed) > 0 and feed["_batch_id"].nunique() >= 3
+    folded = _fold(feed)
+    state = read_state(pipe.table).toPandas()
+    assert {(r["conv_id"], r["turn_idx"]) for _, r in state.iterrows()} == set(folded)
+    for _, r in state.iterrows():
+        assert folded[(r["conv_id"], r["turn_idx"])] == r["text"]
+
+
+def test_cdf_replay_is_idempotent_and_orphans_excluded(spark, tmp_path):
+    table, cdf, pdf, _ = _setup(spark, tmp_path, n_events=1000)
+    n_before = cdf.read(table).count()
+
+    # fenced replay: merge skips, no duplicate feed rows
+    res = merge_batch(
+        table, spark.createDataFrame(pdf.iloc[0:500]), run_id="r", batch_id=0, cdf=cdf
+    )
+    assert res.skipped
+    assert cdf.read(table).count() == n_before
+
+    # orphan: a batch written to the feed whose commit never landed is
+    # invisible to fence-aware reads, visible to raw reads
+    from pyspark.sql import functions as F
+
+    orphan = (
+        cdf.read(table, committed_only=False)
+        .limit(5)
+        .withColumn("_batch_id", F.lit(999))
+    )
+    cdf.append(orphan, run_id="r", batch_id=999)
+    assert cdf.read(table).count() == n_before
+    assert cdf.read(table, committed_only=False).count() == n_before + 5
