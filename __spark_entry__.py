@@ -881,6 +881,80 @@ rf AS (
 SQL_IVF_TRAIN = _ivf_train_sql()
 
 
+def q_pq_train_encode(spark, sf_dir):
+    """Product quantization (functions/vectors.py pq_train + pq_encode):
+    4 subspaces x 16 dims, ksub=8 sub-centroids each trained with the same
+    deterministic Lloyd loop, every vector encoded to 4 sub-centroid
+    indices in one zero-shuffle codegen projection. The oracle replays all
+    4 independent Lloyd chains + the rounded-argmin encode in DuckDB —
+    codebook training AND code assignment are hash-checked cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = V.pq_train(emb, m=4, ksub=8, n_iters=2)
+    return V.pq_encode(emb, books)
+
+
+def _pq_train_sql(m: int = 4, ksub: int = 8, n_iters: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of pq_train + pq_encode: m independent Lloyd chains
+    (each the _ivf_train_sql recurrence restricted to its subspace slice),
+    then one row per vector with the m 0-based sub-centroid codes
+    (rounded-5dp argmin, lowest-index tie-break — array_position(min)
+    semantics)."""
+    d = dim // m
+    parts = []
+    for j in range(m):
+        off = j * d
+        parts.append(f"""s{j}c0 AS (
+  SELECT c.rk - 1 AS ci, p.i - 1 AS pos,
+         ROUND(c.embedding[p.i + {off}]::DOUBLE, 6) AS w
+  FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rk
+        FROM embeddings ORDER BY vec_id LIMIT {ksub}) c
+  CROSS JOIN range(1, {d + 1}) p(i))""")
+        for it in range(1, n_iters + 1):
+            parts.append(f"""s{j}a{it} AS (
+  SELECT e.vec_id, c.ci,
+         sum((e.embedding[c.pos + 1 + {off}]::DOUBLE - c.w)
+           * (e.embedding[c.pos + 1 + {off}]::DOUBLE - c.w)) AS d2
+  FROM embeddings e CROSS JOIN s{j}c{it - 1} c
+  GROUP BY e.vec_id, c.ci),
+s{j}b{it} AS (
+  SELECT vec_id, ci,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+  FROM s{j}a{it}),
+s{j}m{it} AS (
+  SELECT b.ci, p.i - 1 AS pos,
+         ROUND(avg(e.embedding[p.i + {off}]::DOUBLE), 6) AS w
+  FROM s{j}b{it} b JOIN embeddings e USING (vec_id)
+  CROSS JOIN range(1, {d + 1}) p(i)
+  WHERE b.rn = 1
+  GROUP BY b.ci, p.i),
+s{j}c{it} AS (
+  SELECT prev.ci, prev.pos, COALESCE(mm.w, prev.w) AS w
+  FROM s{j}c{it - 1} prev
+  LEFT JOIN s{j}m{it} mm ON mm.ci = prev.ci AND mm.pos = prev.pos)""")
+        parts.append(f"""s{j}f AS (
+  SELECT e.vec_id, c.ci,
+         ROUND(sqrt(sum((e.embedding[c.pos + 1 + {off}]::DOUBLE - c.w)
+                      * (e.embedding[c.pos + 1 + {off}]::DOUBLE - c.w))), 5) AS dist
+  FROM embeddings e CROSS JOIN s{j}c{n_iters} c
+  GROUP BY e.vec_id, c.ci),
+s{j}r AS (
+  SELECT vec_id, ci,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn
+  FROM s{j}f)""")
+    joins = " ".join(
+        f"JOIN s{j}r s{j} ON s{j}.vec_id = e.vec_id AND s{j}.rn = 1"
+        for j in range(m)
+    )
+    cols = ", ".join(f"CAST(s{j}.ci AS INTEGER) AS c{j}" for j in range(m))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT e.vec_id, {cols} FROM embeddings e {joins}"
+    )
+
+
+SQL_PQ_TRAIN = _pq_train_sql()
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Binary media payload → mapInPandas decode. The codec sniffs real
     formats (stdlib PNG/JPEG/WAV, PIL when present); the synthetic fixture
@@ -998,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_buckets": q_lsh_ann_buckets,
         "ivf_assign": q_ivf_assign,
         "ivf_train_assign": q_ivf_train_assign,
+        "pq_train_encode": q_pq_train_encode,
         "multimodal_decode": q_multimodal_decode,
         "engine_replay": q_engine_replay,
     }
@@ -1040,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_buckets": SQL_LSH_ANN,
         "ivf_assign": SQL_IVF_ASSIGN,
         "ivf_train_assign": SQL_IVF_TRAIN,
+        "pq_train_encode": SQL_PQ_TRAIN,
         "multimodal_decode": SQL_MULTIMODAL,
         # round 2: the full engine path is oracle-checked too — final MOR
         # state after merge+compaction+tombstones IS SQL-expressible

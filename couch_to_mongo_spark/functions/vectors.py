@@ -484,3 +484,187 @@ def ivf_recall_at_k(
     )
     hits = truth.join(cand, ["qid", id_col]).count()
     return hits / (len(ids) * k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_frac: float | None = None,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train a product quantizer: split the vector into ``m`` contiguous
+    subspaces and run the deterministic Lloyd loop (:func:`kmeans_train`)
+    independently in each — the codebooks an ADC scan consumes.
+
+    Why PQ at 100 TB: a 64-dim float64 embedding is 512 bytes; ``m`` codes
+    of ``ksub``<=256 centroids are ``m`` bytes (64x smaller at m=8). The
+    candidate scan then reads codes, not vectors — the difference between
+    an in-memory index and re-scanning the parquet.
+
+    Subspaces train sequentially (m small driver loops, each a few
+    aggregation jobs); at 10^10 rows pass ``sample_frac`` so training reads
+    a seeded sample while encoding still runs over everything. Returns m
+    codebooks, each ``[(init_vec_id, centroid)]`` in stable index order —
+    the list POSITION is the code value.
+    """
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(first[0]["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), j * d + 1, d).alias("_sub"),
+        )
+        books.append(
+            kmeans_train(
+                sub, k=ksub, n_iters=n_iters, vec_col="_sub", id_col=id_col,
+                sample_frac=sample_frac,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 5,
+) -> DataFrame:
+    """Encode every vector to its m nearest-sub-centroid indices — one
+    codegen'd projection, NO shuffle (the PQ twin of :func:`ivf_assign`'s
+    plan shape): per subspace, ksub rounded L2 distances as an array
+    literal-join, ``array_position(min)`` with first-occurrence (= lowest
+    code) tie-break. Output: (id, c0..c{m-1}) int codes.
+
+    Distances are rounded to ``round_to`` before the argmin so the
+    assignment is exactly reproducible cross-engine (the DuckDB oracle
+    ranks by the same rounded distance)."""
+    m = len(codebooks)
+    d = len(codebooks[0][0][1])
+    v = F.col(vec_col).cast("array<double>")
+    out = [F.col(id_col)]
+    for j, book in enumerate(codebooks):
+        sub = F.slice(v, j * d + 1, d)
+        darr = F.array(
+            *[F.round(F.sqrt(_l2sq(sub, c)), round_to) for _, c in book]
+        )
+        code = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        out.append(code.alias(f"c{j}"))
+    return df.select(*out)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact, each
+    subspace contributes a ksub-entry lookup table (query-slice vs
+    sub-centroids, computed ONCE on the driver — m*ksub floats), and the
+    scan is ``sum_j lut_j[code_j]`` per row — m array lookups, no vector
+    math, over the m-byte codes. Plan: codegen projection +
+    TakeOrderedAndProject; the only data motion is the top-k itself.
+
+    ``refine_with`` (the exact-vector table) enables the standard ADC →
+    exact re-rank: ADC shortlists ``refine_factor * k`` ids (quantization
+    cannot rank points that share codes — e.g. tight cluster-mates), then
+    ONLY those rows' exact vectors are fetched (a k·refine_factor-row join,
+    not a table scan) and re-ranked by true L2. This is FAISS's refine
+    stage as DataFrame ops; the exact table is read with id pushdown, so
+    the cost stays O(shortlist).
+
+    Output: (id, adc_dist) ascending — adc_dist is the EXACT distance when
+    refining."""
+    m = len(codebooks)
+    d = len(codebooks[0][0][1])
+    dist = None
+    for j, book in enumerate(codebooks):
+        qs = [float(x) for x in query_vec[j * d : (j + 1) * d]]
+        lut = [
+            sum((qx - cx) * (qx - cx) for qx, cx in zip(qs, c)) for _, c in book
+        ]
+        term = F.array(*[F.lit(x) for x in lut]).getItem(F.col(f"c{j}"))
+        dist = term if dist is None else dist + term
+    shortlist_k = k if refine_with is None else max(k * refine_factor, k)
+    adc = (
+        codes.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist"), F.col(id_col))
+        .limit(shortlist_k)
+    )
+    if refine_with is None:
+        return adc
+    qlits = [float(x) for x in query_vec]
+    exact = refine_with.select(
+        F.col(id_col),
+        F.sqrt(_l2sq(F.col(vec_col).cast("array<double>"), qlits)).alias("_ed"),
+    )
+    return (
+        adc.select(id_col)
+        .join(exact, id_col)
+        .select(F.col(id_col), F.col("_ed").alias("adc_dist"))
+        .orderBy(F.col("adc_dist"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_recall_at_k(
+    df: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine: bool = False,
+) -> float:
+    """Recall@k of the PQ-ADC scan vs exact L2 ground truth over the
+    `n_queries` lowest ids — measures what the compression costs. With
+    ``refine``, the ADC shortlist is exact-re-ranked first (the production
+    configuration); without, raw code-space ranking (the floor)."""
+    books = pq_train(df, m=m, ksub=ksub, n_iters=n_iters,
+                     vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(df, books, vec_col=vec_col, id_col=id_col).persist()
+    qrows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_queries).collect()
+    )
+    try:
+        hits = 0
+        for qid, qv in qrows:
+            qv = [float(x) for x in qv]
+            exact = (
+                df.select(
+                    F.col(id_col),
+                    F.sqrt(_l2sq(F.col(vec_col).cast("array<double>"), qv)).alias("dd"),
+                )
+                .where(F.col(id_col) != qid)
+                .orderBy("dd", id_col)
+                .limit(k)
+                .collect()
+            )
+            truth = {r[0] for r in exact}
+            approx = pq_adc_topk(
+                codes.where(F.col(id_col) != qid), qv, books, k=k, id_col=id_col,
+                refine_with=df.where(F.col(id_col) != qid) if refine else None,
+                vec_col=vec_col,
+            ).collect()
+            hits += len(truth & {r[0] for r in approx})
+        return hits / (n_queries * k)
+    finally:
+        codes.unpersist()

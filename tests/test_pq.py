@@ -1,0 +1,50 @@
+"""Product quantization (functions/vectors.py pq_*): plan shape,
+determinism, and recall on the clustered fixture. The entry-contract suite
+additionally hash-checks pq_train+pq_encode against the DuckDB Lloyd-chain
+oracle (pq_train_encode)."""
+
+from __future__ import annotations
+
+import pytest
+
+from couch_to_mongo_spark.functions import vectors as V
+from couch_to_mongo_spark.gen import make_clustered_embeddings
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        make_clustered_embeddings(n=400, dim=64, n_clusters=8, seed=5)
+    ).persist()
+
+
+def test_pq_encode_is_zero_shuffle(spark, emb):
+    books = V.pq_train(emb, m=4, ksub=8, n_iters=1)
+    plan = (
+        V.pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_pq_train_is_deterministic(spark, emb):
+    b1 = V.pq_train(emb, m=4, ksub=8, n_iters=2)
+    b2 = V.pq_train(emb, m=4, ksub=8, n_iters=2)
+    assert b1 == b2
+
+
+def test_pq_refined_recall_beats_raw_and_clears_floor(spark, emb):
+    """Raw ADC cannot rank inside a tight cluster (mates share codes — the
+    quantization limit, honestly low on this fixture); the ADC-shortlist +
+    exact-re-rank configuration must clear 0.8 recall@10."""
+    raw = V.pq_recall_at_k(emb, k=10, n_queries=8)
+    refined = V.pq_recall_at_k(emb, k=10, n_queries=8, refine=True)
+    assert refined >= 0.8, (raw, refined)
+    assert refined > raw
+
+
+def test_pq_codes_are_m_small_ints(spark, emb):
+    books = V.pq_train(emb, m=4, ksub=8, n_iters=1)
+    codes = V.pq_encode(emb, books)
+    assert [f.name for f in codes.schema.fields] == ["vec_id", "c0", "c1", "c2", "c3"]
+    row = codes.orderBy("vec_id").limit(50).collect()
+    assert all(0 <= r[f"c{j}"] < 8 for r in row for j in range(4))
