@@ -658,6 +658,60 @@ SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
 """
 
 
+def q_lsh_dedup_groups(spark, sf_dir):
+    """The production-scale dedup pipeline end-to-end: MinHash-LSH band
+    buckets -> bucket-local candidate pair expansion (size-capped) ->
+    exact Jaccard verification of candidates only -> connected-components
+    closure. The oracle replays the identical signature/bucket/cap/verify
+    pipeline, so LSH's recall misses are byte-identical cross-engine."""
+    return X.lsh_dedup_groups(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, n=3,
+        threshold=0.5, max_bucket_size=50,
+    )
+
+
+SQL_LSH_DEDUP_GROUPS = f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS sl FROM docs),
+sh AS (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM shl),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_MH_COLS}
+  FROM shl),
+buckets AS (
+  SELECT doc_id, unnest([
+    '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR),
+    '1_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR),
+    '2_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR),
+    '3_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)]) AS bucket
+  FROM sig),
+ok AS (SELECT bucket FROM buckets GROUP BY bucket
+       HAVING count(*) BETWEEN 2 AND 50),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM buckets a JOIN buckets b
+           ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE a.bucket IN (SELECT bucket FROM ok)
+         GROUP BY 1, 2),
+inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+          WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
+"""
+
+
 def q_simhash(spark, sf_dir):
     return X.simhash16_df(_t(spark, sf_dir, "documents"))
 
@@ -1063,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "dedup_groups": q_dedup_groups,
+        "lsh_dedup_groups": q_lsh_dedup_groups,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
@@ -1106,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": SQL_JACCARD,
         "ngram_jaccard_capped": SQL_JACCARD_CAPPED,
         "dedup_groups": SQL_DEDUP_GROUPS,
+        "lsh_dedup_groups": SQL_LSH_DEDUP_GROUPS,
         "simhash": SQL_SIMHASH,
         "lang_id": SQL_LANG,
         "quality_score": SQL_QUALITY,

@@ -466,3 +466,116 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         bpe.alias("bpe_tokens"),
         F.round(bpe / ws, 6).alias("subword_ratio"),
     )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """Near-dup pairs the 100 TB way: MinHash-LSH candidate generation +
+    exact Jaccard verification of ONLY the candidates.
+
+    The direct shingle self-join (:func:`ngram_jaccard_pairs`) scans the
+    whole inverted index — O(sum df_s^2) join rows; here candidates come
+    from band-bucket collisions (O(near-dups), the property LSH exists
+    for), and the exact check touches candidate pairs only:
+
+    1. band buckets -> per-bucket sorted id lists, buckets larger than
+       ``max_bucket_size`` dropped (a degenerate bucket — boilerplate
+       cluster or band collision storm — would alone contribute O(size^2)
+       pairs; same guard as the jaccard df cutoff);
+    2. local pair expansion per list (array HOF, no self-join shuffle),
+       distinct across bands;
+    3. verification joins each side's distinct hashed-shingle ARRAY (built
+       once per doc) and intersects locally — |A∩B| via array_intersect,
+       sizes via array_size: per-pair work is O(|A|+|B|), no explode.
+
+    Verified pairs can MISS true pairs whose signatures never collide —
+    that is LSH's recall trade, and the DuckDB oracle replays the exact
+    same signature/bucket/cap pipeline so the miss set is identical
+    cross-engine. Output matches ngram_jaccard_pairs: (id_a, id_b,
+    n_common, jaccard)."""
+    buckets = lsh_band_buckets(df, text_col, id_col, k, bands)
+    inv = (
+        buckets.groupBy("bucket")
+        .agg(F.collect_list(id_col).alias("_ids0"))
+        .where((F.size("_ids0") >= 2) & (F.size("_ids0") <= max_bucket_size))
+        .select(F.array_sort("_ids0").alias("_ids"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        inv.select(F.explode(pair_expr).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
+        .distinct()
+    )
+    d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    sh = d.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(shingles_from_tokens(F.col("_tk"), n)), hash15
+        ).alias("_sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sha", "_shb")).cast("long").alias("n_common"),
+            F.array_size("_sha").cast("long").alias("n_a"),
+            F.array_size("_shb").cast("long").alias("n_b"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def lsh_dedup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """The full production dedup pipeline at 100 TB: LSH candidates ->
+    exact Jaccard verify -> connected-components closure -> (doc_id,
+    group_id) for every document. Same output contract as
+    :func:`dedup_groups`, but candidate generation is bucket-collision
+    bound instead of inverted-index-self-join bound."""
+    from ..operators.components import attach_components, connected_components
+
+    pairs = lsh_verified_pairs(
+        df, text_col, id_col, k=k, bands=bands, n=n,
+        threshold=threshold, max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return attach_components(df, comp, id_col=id_col, out_col="group_id")

@@ -55,6 +55,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--since-seq", type=int, default=None)
     p.add_argument("--no-stats", action="store_true")
+    p.add_argument("--emit-cdf", action="store_true",
+                   help="write the row-level change feed per batch")
 
     p = sub.add_parser("tail", help="continuous CDC tail")
     p.add_argument("--table", required=True)
@@ -63,6 +65,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--trigger", default="5 seconds")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--emit-cdf", action="store_true",
+                   help="write the row-level change feed per batch")
 
     p = sub.add_parser("compact", help="fold MOR delta files")
     p.add_argument("--table", required=True)
@@ -71,6 +75,20 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("state", help="table probe: snapshot + live row count")
     p.add_argument("--table", required=True)
+
+    p = sub.add_parser(
+        "rescale", help="re-key the table to a new bucket count (atomic)"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--n-buckets", type=int, required=True)
+
+    p = sub.add_parser(
+        "changes", help="read the semantic change feed (CDF) written by "
+        "replay/tail --emit-cdf"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--include-uncommitted", action="store_true")
 
     p = sub.add_parser("vacuum", help="expire old snapshots + reclaim orphans")
     p.add_argument("--table", required=True)
@@ -113,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             since_seq=getattr(args, "since_seq", None),
             collect_stats=not getattr(args, "no_stats", False),
+            emit_cdf=getattr(args, "emit_cdf", False),
         )
         if args.cmd == "replay":
             pipe.run_available()
@@ -183,6 +202,25 @@ def main(argv: list[str] | None = None) -> int:
                 dead_letter=log,
             )
             print(json.dumps(res.to_lineage()))
+    elif args.cmd == "rescale":
+        from couch_to_mongo_spark.operators.rescale import rescale_buckets
+        from couch_to_mongo_spark.tableformat import LakeTable
+
+        info = rescale_buckets(LakeTable(spark, args.table), args.n_buckets)
+        print(json.dumps(info))
+    elif args.cmd == "changes":
+        import os
+
+        from couch_to_mongo_spark.operators.cdf import ChangeFeedLog
+        from couch_to_mongo_spark.tableformat import LakeTable
+
+        log = ChangeFeedLog(spark, os.path.join(args.table, "_changes"))
+        feed = log.read(
+            LakeTable(spark, args.table),
+            committed_only=not args.include_uncommitted,
+        )
+        for r in feed.orderBy("_batch_id").limit(args.limit).collect():
+            print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
     elif args.cmd == "state":
         from couch_to_mongo_spark.operators.merge import read_state
         from couch_to_mongo_spark.tableformat import LakeTable

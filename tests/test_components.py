@@ -97,3 +97,44 @@ def test_duplicate_and_reversed_edges_are_idempotent(spark):
     # self-loop contributes its node only if it appears in a real edge;
     # (p3,p3) is dropped as a self-loop, so p3 is absent from the mapping
     assert got == {"p1": "p1", "p2": "p1"}
+
+
+def test_lsh_verified_pairs_subset_with_high_recall(spark):
+    """LSH-verified pairs are exact on candidates (subset of the exhaustive
+    jaccard pairs at the same threshold) and the band collision recall on
+    the planted near-dups clears 0.8."""
+    import couch_to_mongo_spark.functions.text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in X.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in X.lsh_verified_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert lsh <= exact
+    assert exact, "fixture has no near-dup pairs?"
+    assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
+
+
+def test_lsh_dedup_groups_match_exhaustive_on_found_pairs(spark):
+    """Group assignments agree with the exhaustive pipeline everywhere the
+    LSH candidate set found the same pairs (the only divergence allowed is
+    a missed collision splitting a group)."""
+    import couch_to_mongo_spark.functions.text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {r["doc_id"]: r["group_id"] for r in X.dedup_groups(docs).collect()}
+    b = {r["doc_id"]: r["group_id"] for r in X.lsh_dedup_groups(docs).collect()}
+    assert set(a) == set(b)
+    # every LSH group is contained in an exhaustive group (never merges
+    # docs the exhaustive pipeline keeps apart)
+    from collections import defaultdict
+
+    groups_b = defaultdict(set)
+    for doc, g in b.items():
+        groups_b[g].add(doc)
+    for members in groups_b.values():
+        assert len({a[m] for m in members}) == 1, members
