@@ -728,6 +728,37 @@ FROM tb GROUP BY doc_id
 """
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-<=3 near-dup pairs via the pigeonhole band join
+    (guaranteed recall for max_hamming < bands) + exact popcount verify."""
+    return X.simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, bands=4
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS t FROM docs),
+tb AS (SELECT doc_id, b.bit,
+              sum(CASE WHEN ({_H('t')} >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       FROM tok CROSS JOIN range(0, 16) b(bit) GROUP BY doc_id, b.bit),
+sim AS (SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+        FROM tb GROUP BY doc_id),
+bandrows AS (SELECT doc_id, simhash,
+                    CAST(b.b AS VARCHAR) || '_' ||
+                    CAST((simhash >> (b.b * 4)) & 15 AS VARCHAR) AS bkey
+             FROM sim CROSS JOIN range(0, 4) b(b)),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.simhash AS ha, b.simhash AS hb
+         FROM bandrows a JOIN bandrows b
+           ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return X.lang_id(_t(spark, sf_dir, "documents"))
 
@@ -1119,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "lsh_dedup_groups": q_lsh_dedup_groups,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_counts": q_token_counts,
@@ -1163,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": SQL_DEDUP_GROUPS,
         "lsh_dedup_groups": SQL_LSH_DEDUP_GROUPS,
         "simhash": SQL_SIMHASH,
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
         "lang_id": SQL_LANG,
         "quality_score": SQL_QUALITY,
         "token_counts": SQL_TOKENS,

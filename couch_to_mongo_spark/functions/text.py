@@ -579,3 +579,67 @@ def lsh_dedup_groups(
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return attach_components(df, comp, id_col=id_col, out_col="group_id")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming`` —
+    COMPLETE, not approximate, by the pigeonhole band trick: the 16-bit
+    hash splits into ``bands`` equal slices, and two hashes within
+    ``max_hamming < bands`` bit flips MUST agree on at least one whole
+    slice, so the band-equality self-join (one shuffle on (band, value),
+    never all-pairs) is a guaranteed-recall candidate generator; the exact
+    ``bit_count(xor)`` check then runs per candidate pair only. The same
+    construction scales to 64-bit hashes / more bands at 100 TB.
+
+    Output: (id_a, id_b, hamming)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"completeness needs max_hamming < bands ({max_hamming} >= {bands})"
+        )
+    if 16 % bands:
+        raise ValueError(f"bands={bands} must divide 16")
+    width = 16 // bands
+    mask = (1 << width) - 1
+    sim = simhash16_df(df, text_col, id_col)
+    band_rows = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bkey"),
+    )
+    a = band_rows.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "bkey"
+    )
+    b = band_rows.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "bkey"
+    )
+    cand = (
+        a.join(b, "bkey")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

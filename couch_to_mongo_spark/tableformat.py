@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -86,6 +87,9 @@ class Snapshot:
     # every in-memory consumer is unchanged. Manifests are immutable and
     # uuid-named, hence safely cacheable process-wide.
     manifests: dict[str, str] = field(default_factory=dict)
+    # wall-clock commit time (epoch seconds) — timestamp time travel
+    # (Iceberg FOR SYSTEM_TIME AS OF). None on pre-upgrade snapshots.
+    committed_at: float | None = None
 
     @property
     def schema(self) -> T.StructType:
@@ -114,6 +118,7 @@ class Snapshot:
             "manifests": self.manifests,
             "lineage": self.lineage,
             "fences": self.fences,
+            "committed_at": self.committed_at,
         }
 
     @classmethod
@@ -139,6 +144,7 @@ class Snapshot:
             fences=fences,
             file_stats=d.get("file_stats", {}),
             manifests=d.get("manifests", {}),
+            committed_at=d.get("committed_at"),
         )
 
 
@@ -185,6 +191,7 @@ class LakeTable:
                 n_buckets=n_buckets,
                 files={},
                 lineage={"op": "create"},
+                committed_at=time.time(),
             )
             tbl._write_snapshot(snap)
         return tbl
@@ -357,17 +364,40 @@ class LakeTable:
 
     # ---------------- read ----------------
 
+    def version_as_of(self, ts: float) -> int:
+        """Timestamp time travel (Iceberg FOR SYSTEM_TIME AS OF): the
+        latest version whose commit landed at or before ``ts`` (epoch
+        seconds). Walks back from the latest snapshot — O(versions newer
+        than ts) metadata reads, i.e. cheap for the common "a few minutes
+        ago" queries; pre-upgrade snapshots without a timestamp are treated
+        as arbitrarily old."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no snapshots under {self.snap_dir}")
+        while v >= 0:
+            snap = self.snapshot(v)
+            if snap.committed_at is None or snap.committed_at <= ts:
+                return v
+            v -= 1
+        raise ValueError(f"no snapshot committed at or before {ts}")
+
     def read(
         self,
         version: int | None = None,
         with_bucket: bool = False,
         min_seq: int | None = None,
+        as_of: float | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``min_seq`` prunes data files whose snapshot-level
         ``_seq`` max is below it BEFORE Spark plans the scan — metadata-only
         file skipping on the engine's universal filter column (Iceberg's
         per-file column bounds). At 10^10 events an incremental consumer
-        reads O(new files), not O(table)."""
+        reads O(new files), not O(table). ``as_of`` (epoch seconds)
+        resolves the version by commit timestamp instead."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version or as_of, not both")
+            version = self.version_as_of(as_of)
         snap = self.snapshot(version)
         rels = snap.all_files()
         if min_seq is not None:
@@ -559,6 +589,7 @@ class LakeTable:
                 fences=fences,
                 file_stats=stats,
                 manifests=manifests,
+                committed_at=time.time(),
             )
             try:
                 self._write_snapshot(snap)
@@ -571,7 +602,6 @@ class LakeTable:
                 # re-serializing snapshots in lockstep (reference analogue:
                 # bounded retry budgets, Mongo.java:51-52).
                 import random
-                import time
 
                 time.sleep(random.uniform(0, backoff_base * (2**attempt)))
         raise CommitConflict("unreachable")  # pragma: no cover

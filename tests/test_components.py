@@ -138,3 +138,28 @@ def test_lsh_dedup_groups_match_exhaustive_on_found_pairs(spark):
         groups_b[g].add(doc)
     for members in groups_b.values():
         assert len({a[m] for m in members}) == 1, members
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole completeness: the banded candidate join must find EVERY
+    pair within max_hamming=3 — verified against an all-pairs popcount over
+    the collected 16-bit hashes."""
+    import couch_to_mongo_spark.functions.text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    hashes = {
+        r["doc_id"]: r["simhash"] for r in X.simhash16_df(docs).collect()
+    }
+    ids = sorted(hashes)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in X.simhash_pairs(docs, max_hamming=3, bands=4).collect()
+    }
+    assert got == brute
+    assert brute, "fixture produced no close simhash pairs"

@@ -67,3 +67,37 @@ def test_expire_noop_when_single_snapshot(spark, tmp_path):
         spark, str(tmp_path / "t"), with_engine_schema(TRANSCRIPT_SCHEMA), n_buckets=2
     )
     assert table.expire_snapshots(keep_last=5)["files_deleted"] == 0
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """as_of (epoch seconds) resolves to the latest commit at-or-before the
+    timestamp — Iceberg's FOR SYSTEM_TIME AS OF."""
+    import time
+
+    pdf = make_changes_df(n_events=800, n_convs=10, seed=62, delete_frac=0.0)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), with_engine_schema(TRANSCRIPT_SCHEMA), n_buckets=4
+    )
+    halves = [pdf[pdf.seq < 400], pdf[pdf.seq >= 400]]
+    merge_batch(table, spark.createDataFrame(halves[0]), run_id="r", batch_id=0,
+                collect_stats=False)
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    merge_batch(table, spark.createDataFrame(halves[1]), run_id="r", batch_id=1,
+                collect_stats=False)
+
+    assert table.version_as_of(t_mid) == 1
+    assert table.version_as_of(time.time()) == table.latest_version()
+    mid_rows = read_state(table, version=table.version_as_of(t_mid)).count()
+    v1_rows = read_state(table, version=1).count()
+    assert mid_rows == v1_rows
+    # direct read(as_of=...) sees only the first batch's raw rows
+    assert table.read(as_of=t_mid).count() == table.read(version=1).count()
+    with pytest.raises(ValueError):
+        table.read(version=1, as_of=t_mid)
+    # a timestamp before the table existed has no snapshot... except the
+    # create() snapshot, which is treated as arbitrarily old only when
+    # undated; a dated create commit raises for ts before it
+    with pytest.raises(ValueError):
+        table.version_as_of(0.0)
