@@ -730,9 +730,12 @@ FROM tb GROUP BY doc_id
 
 def q_simhash_pairs(spark, sf_dir):
     """SimHash Hamming-<=3 near-dup pairs via the pigeonhole band join
-    (guaranteed recall for max_hamming < bands) + exact popcount verify."""
+    (guaranteed recall for max_hamming < bands) + exact popcount verify.
+    60-bit hash, 15-bit bands — band selectivity 2^15, so buckets are
+    collision-bound, not corpus-fraction-bound (a 16-bit hash degenerates
+    at scale: 81 s at sf1 vs collision-bound with 60-bit)."""
     return X.simhash_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=3, bands=4
+        _t(spark, sf_dir, "documents"), max_hamming=3, bands=4, n_bits=60
     )
 
 
@@ -741,13 +744,13 @@ WITH docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
 tok AS (SELECT doc_id, unnest(tk) AS t FROM docs),
 tb AS (SELECT doc_id, b.bit,
               sum(CASE WHEN ({_H('t')} >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-       FROM tok CROSS JOIN range(0, 16) b(bit) GROUP BY doc_id, b.bit),
+       FROM tok CROSS JOIN range(0, 60) b(bit) GROUP BY doc_id, b.bit),
 sim AS (SELECT doc_id,
                CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
         FROM tb GROUP BY doc_id),
 bandrows AS (SELECT doc_id, simhash,
                     CAST(b.b AS VARCHAR) || '_' ||
-                    CAST((simhash >> (b.b * 4)) & 15 AS VARCHAR) AS bkey
+                    CAST((simhash >> (b.b * 15)) & 32767 AS VARCHAR) AS bkey
              FROM sim CROSS JOIN range(0, 4) b(b)),
 cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 a.simhash AS ha, b.simhash AS hb

@@ -138,6 +138,7 @@ def run_query_bench(spark, sf_dir: str, passes: int = 2) -> dict[str, float]:
 SF1_HEADLINE = [
     "cdc_fold", "dedup_exact", "doc_fingerprint", "minhash_lsh_buckets",
     "simhash", "ngram_jaccard_pairs", "ngram_jaccard_capped",
+    "dedup_groups", "lsh_dedup_groups", "simhash_pairs", "pq_train_encode",
     "q1_pricing", "q3_shipping", "engine_replay",
 ]
 
@@ -227,7 +228,10 @@ def main():
     ap.add_argument("--cdc-files", type=int, default=8)
     ap.add_argument("--mfpt", type=int, default=4, help="maxFilesPerTrigger")
     ap.add_argument("--n-buckets", type=int, default=32)
-    ap.add_argument("--passes", type=int, default=2)
+    # 3 replay passes (min reported): this host's random multi-second
+    # throttling storms can swallow BOTH passes of a 2-pass run (measured:
+    # [15.3, 13.2] in a storm vs [24.0, 2.94] minutes earlier, same code)
+    ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--feed", default=None, help="reuse an existing feed dir")
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--no-queries", action="store_true")

@@ -148,7 +148,8 @@ def test_simhash_pairs_complete_vs_bruteforce(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     hashes = {
-        r["doc_id"]: r["simhash"] for r in X.simhash16_df(docs).collect()
+        r["doc_id"]: r["simhash"]
+        for r in X.simhash_df(docs, n_bits=60).collect()
     }
     ids = sorted(hashes)
     brute = {
