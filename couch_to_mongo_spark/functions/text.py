@@ -187,6 +187,24 @@ def simhash16_df(
     return simhash_df(df, text_col, id_col, out_col, n_bits=16)
 
 
+def _local_pairs(ids_col: Column) -> Column:
+    """All (id_a < id_b) pairs of a SORTED id array, expanded locally via
+    array HOFs (no self-join shuffle): the i-th element pairs with every
+    later one. Shared by the capped-jaccard and LSH candidate paths — the
+    1-based ``i + 2`` slice offset is the subtle part, keep it in one
+    place. Only reference a bare materialized column (e.g. ``F.col("_ids")``)
+    here: lambda bodies re-evaluate unbound subexpressions per element."""
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                F.slice(ids_col, i + F.lit(2), F.size(ids_col)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content fingerprint: keeper = min id.
     Hash-groupBy — one shuffle on the 128-bit fingerprint, skew-free."""
@@ -318,17 +336,8 @@ def ngram_jaccard_pairs(
             .where(F.size("_ids0") <= max_doc_freq)
             .select(F.array_sort("_ids0").alias("_ids"))
         )
-        pairs = F.flatten(
-            F.transform(
-                F.col("_ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        )
         inter = (
-            inv.select(F.explode(pairs).alias("_p"))
+            inv.select(F.explode(_local_pairs(F.col("_ids"))).alias("_p"))
             .select("_p.id_a", "_p.id_b")
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
@@ -523,17 +532,8 @@ def lsh_verified_pairs(
         .where((F.size("_ids0") >= 2) & (F.size("_ids0") <= max_bucket_size))
         .select(F.array_sort("_ids0").alias("_ids"))
     )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     cand = (
-        inv.select(F.explode(pair_expr).alias("_p"))
+        inv.select(F.explode(_local_pairs(F.col("_ids"))).alias("_p"))
         .select("_p.id_a", "_p.id_b")
         .distinct()
     )

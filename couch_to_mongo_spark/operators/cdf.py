@@ -8,8 +8,8 @@ same columns as the table, plus
 
 - ``_change_type``: insert | update_preimage | update_postimage | delete
 - ``_batch_id`` / ``_run_id``: the micro-batch that produced the change
-- ``_commit_snapshot``: snapshot id the change became visible in (-1 until
-  the commit lands — see idempotence note)
+  (committed-ness is determined against the table's fence map — the fence
+  entry IS the commit record, so no per-row snapshot id is stored)
 
 Scale shape: the feed is O(changed rows) per batch — computed from the
 classification join the stats path already runs (one extra projection, no
@@ -38,7 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 CHANGE_TYPE_COL = "_change_type"
-CDF_META_COLS = (CHANGE_TYPE_COL, "_run_id", "_batch_id", "_commit_snapshot")
+CDF_META_COLS = (CHANGE_TYPE_COL, "_run_id", "_batch_id")
 
 __all__ = ["ChangeFeedLog", "CHANGE_TYPE_COL", "CDF_META_COLS"]
 
@@ -64,7 +64,15 @@ class ChangeFeedLog:
     ) -> DataFrame:
         """The whole feed; with ``committed_only`` (needs ``table``), rows of
         batches at-or-below each run's fenced high-water mark only — orphan
-        rows from a crashed, never-committed batch are excluded."""
+        rows from a crashed, never-committed batch are excluded. A feed
+        that was never written (no --emit-cdf, or no batch yet) reads as an
+        empty meta-columns-only frame instead of a PATH_NOT_FOUND error."""
+        import glob
+
+        if not glob.glob(os.path.join(self.root, "run=*", "batch=*")):
+            return self.spark.createDataFrame(
+                [], f"{CHANGE_TYPE_COL} string, _run_id string, _batch_id int"
+            )
         df = self.spark.read.option("basePath", self.root).parquet(
             os.path.join(self.root, "run=*", "batch=*")
         )
@@ -90,29 +98,65 @@ def classify_changes(
     payload_cols: list[str],
     run_id: str,
     batch_id: int,
-) -> DataFrame:
-    """Build the CDF rows for one merged batch.
+    seq_col: str = "_seq",
+    rev_col: str = "_rev",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the CDF rows for one merged batch. Returns ``(changes,
+    cache)`` — the caller MUST unpersist ``cache`` after writing: the four
+    change-type branches project the same classification join, and without
+    the persist each branch of the written union re-derives the existing-
+    bucket scan + window dedup (the repo's exchange-reuse rule: one
+    materialization, many consumers).
 
     ``batch``: LWW-deduped batch rows (one per key, tombstones included).
-    ``existing_winners``: LWW-resolved LIVE pre-state of the touched
-    buckets (non-deleted winners, full payload) — the same frame the merge
-    stats join derives, so this adds a projection, not a scan.
+    ``existing_winners``: LWW-RESOLVED pre-state of the touched buckets,
+    tombstone winners INCLUDED (full payload + the deleted flag).
 
-    Emits (Delta CDF semantics):
-      - insert            -> after image   (batch row, key not live before)
-      - update_preimage   -> before image  (existing row, key re-upserted)
-      - update_postimage  -> after image   (batch row)
-      - delete            -> before image  (existing row, batch tombstones it)
-    A tombstone for a key that was not live is a no-op and emits nothing
-    (same rule as the n_deletes stat)."""
+    Emits (Delta CDF semantics), ONLY for batch rows that actually WIN the
+    LWW against the resolved pre-state — a redelivered or out-of-order row
+    whose (seq, rev_gen, _rev) does not exceed the winner changes nothing
+    in the table, so it must emit nothing in the feed (otherwise a replay
+    under a new run_id would append stale post-images and a feed consumer
+    would diverge from the table). Comparing against the RESOLVED winner
+    (not just live rows) also covers tombstoned keys: a stale row arriving
+    under an existing tombstone loses and emits nothing, while a genuinely
+    newer row re-inserting a deleted key emits an insert:
+      - insert            -> after image   (batch wins; key absent or dead)
+      - update_preimage   -> before image  (batch wins over a live row)
+      - update_postimage  -> after image   (batch wins over a live row)
+      - delete            -> before image  (tombstone wins over a live row)
+    A tombstone over an absent/already-dead key is a state no-op and emits
+    nothing (same rule as the n_deletes stat)."""
+    from couch_to_mongo_spark.operators.dedup import with_rev_gen
+
     cols = [c for c in payload_cols if c != deleted_col]
     is_del = F.coalesce(F.col(deleted_col), F.lit(False))
 
-    ex = existing_winners.select(
-        *key_cols, *[F.col(c).alias(f"_pre_{c}") for c in cols if c not in key_cols]
+    wb = with_rev_gen(batch, rev_col=rev_col)
+    we = with_rev_gen(existing_winners, rev_col=rev_col)
+    ex = we.select(
+        *key_cols,
+        F.col("rev_gen").alias("_pre_rev_gen"),
+        F.col(deleted_col).alias("_pre_del"),
+        *[F.col(c).alias(f"_pre_{c}") for c in cols if c not in key_cols],
     ).withColumn("_m", F.lit(1))
-    j = batch.join(ex, key_cols, "left")
+    j = wb.join(ex, key_cols, "left").persist()
     matched = F.col("_m").isNotNull()
+    pre_live = matched & ~F.coalesce(F.col("_pre_del"), F.lit(False))
+
+    def _ord(seq, gen, rev):
+        # null-safe LWW ordering tuple (matches the dedup kernel's
+        # [seq, rev_gen, rev] descending sort)
+        return F.struct(
+            F.col(seq).alias("s"),
+            F.coalesce(F.col(gen), F.lit(-1)).alias("g"),
+            F.coalesce(F.col(rev), F.lit("")).alias("r"),
+        )
+
+    wins = ~matched | (
+        _ord(seq_col, "rev_gen", rev_col)
+        > _ord(f"_pre_{seq_col}", "_pre_rev_gen", f"_pre_{rev_col}")
+    )
 
     def image(df, change_type, pre: bool):
         sel = list(key_cols) + [
@@ -122,14 +166,13 @@ def classify_changes(
         ]
         return df.select(*sel).withColumn(CHANGE_TYPE_COL, F.lit(change_type))
 
-    inserts = image(j.where(~is_del & ~matched), "insert", pre=False)
-    upd_post = image(j.where(~is_del & matched), "update_postimage", pre=False)
-    upd_pre = image(j.where(~is_del & matched), "update_preimage", pre=True)
-    deletes = image(j.where(is_del & matched), "delete", pre=True)
+    inserts = image(j.where(~is_del & wins & ~pre_live), "insert", pre=False)
+    upd_post = image(j.where(~is_del & wins & pre_live), "update_postimage", pre=False)
+    upd_pre = image(j.where(~is_del & wins & pre_live), "update_preimage", pre=True)
+    deletes = image(j.where(is_del & wins & pre_live), "delete", pre=True)
 
     out = inserts.unionByName(upd_pre).unionByName(upd_post).unionByName(deletes)
-    return (
-        out.withColumn("_run_id", F.lit(run_id))
-        .withColumn("_batch_id", F.lit(batch_id))
-        .withColumn("_commit_snapshot", F.lit(-1))
+    out = out.withColumn("_run_id", F.lit(run_id)).withColumn(
+        "_batch_id", F.lit(batch_id)
     )
+    return out, j

@@ -62,9 +62,14 @@ def compact(
     df = df.withColumn(BUCKET_COL, bucket_expr(key_cols[0], snap.n_buckets))
     df = df.repartition(len(buckets), F.col(BUCKET_COL))
     if sort_within_bucket:
-        # narrow (per-partition) sort; partitionBy(BUCKET_COL) in the write
-        # preserves intra-partition order per emitted file
-        df = df.sortWithinPartitions(*key_cols)
+        # narrow (per-partition) sort. BUCKET_COL leads the sort key: the
+        # dynamic-partition writer REQUIRES ordering on the partition
+        # column, and if our outputOrdering doesn't provide it Spark adds
+        # its own SortExec on _bucket — which is NOT stable under spill,
+        # so a big compaction would silently lose the key order this
+        # feature exists for. Leading with _bucket satisfies the writer's
+        # required ordering structurally (no extra sort inserted).
+        df = df.sortWithinPartitions(BUCKET_COL, *key_cols)
 
     new_files = table.write_bucketed(
         df, snapshot_hint=f"c{snap.version + 1:08d}", n_buckets=snap.n_buckets

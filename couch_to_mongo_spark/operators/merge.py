@@ -274,9 +274,9 @@ def merge_batch(
         if cdf is not None:
             from couch_to_mongo_spark.operators.cdf import classify_changes
 
-            changes = classify_changes(
+            changes, cdf_cache = classify_changes(
                 align_to_schema(b, evolved),
-                ex_live,
+                ex,  # RESOLVED winners incl. tombstones (see classify docstring)
                 list(key_cols),
                 DELETED_COL,
                 [f.name for f in evolved.fields],
@@ -288,6 +288,7 @@ def merge_batch(
             # rows of a never-committed batch are excluded by fence-aware
             # reads (ChangeFeedLog.read committed_only)
             cdf.append(changes, run_id, batch_id)
+            cdf_cache.unpersist()
         if collect_stats:
             # one-pass classification of batch rows against existing live keys
             cls = b.select(*key_cols, DELETED_COL, SEQ_COL).join(ex_keys, key_cols, "left")

@@ -57,7 +57,10 @@ def rescale_buckets(
     df = df.withColumn(BUCKET_COL, bucket_expr(keys[0], new_n_buckets))
     df = df.repartition(new_n_buckets, F.col(BUCKET_COL))
     if sort_within_bucket:
-        df = df.sortWithinPartitions(*keys)
+        # _bucket leads: satisfies the partitioned writer's required
+        # ordering so no (spill-unstable) extra SortExec is inserted —
+        # see operators/compact.py
+        df = df.sortWithinPartitions(BUCKET_COL, *keys)
 
     new_files = table.write_bucketed(
         df, snapshot_hint=f"r{snap.version + 1:08d}", n_buckets=new_n_buckets

@@ -375,11 +375,19 @@ class LakeTable:
         if v is None:
             raise FileNotFoundError(f"no snapshots under {self.snap_dir}")
         while v >= 0:
-            snap = self.snapshot(v)
+            try:
+                snap = self.snapshot(v)
+            except FileNotFoundError:
+                # walked past the retention window (expire_snapshots pruned
+                # this version): surface as the documented too-old error,
+                # not a missing-file crash
+                break
             if snap.committed_at is None or snap.committed_at <= ts:
                 return v
             v -= 1
-        raise ValueError(f"no snapshot committed at or before {ts}")
+        raise ValueError(
+            f"no snapshot committed at or before {ts} within retention"
+        )
 
     def read(
         self,

@@ -140,3 +140,71 @@ def test_cdf_replay_is_idempotent_and_orphans_excluded(spark, tmp_path):
     cdf.append(orphan, run_id="r", batch_id=999)
     assert cdf.read(table).count() == n_before
     assert cdf.read(table, committed_only=False).count() == n_before + 5
+
+
+def test_cdf_redelivery_under_new_run_emits_nothing(spark, tmp_path):
+    """The r03 review finding: a replay under a NEW run_id (checkpoint
+    loss) re-applies rows that all LOSE or TIE the LWW — the table doesn't
+    change, so the feed must not change either (previously emitted stale
+    update_postimage rows that made a feed fold diverge from the table)."""
+    table, cdf, pdf, _ = _setup(spark, tmp_path, n_events=1000)
+    feed_before = cdf.read(table, committed_only=False).toPandas()
+
+    for i, lo in enumerate(range(0, len(pdf), 500)):
+        merge_batch(
+            table,
+            spark.createDataFrame(pdf.iloc[lo : lo + 500]),
+            run_id="replay-run",
+            batch_id=i,
+            cdf=cdf,
+        )
+    feed_after = cdf.read(table, committed_only=False).toPandas()
+    replayed = feed_after[feed_after["_run_id"] == "replay-run"]
+    assert len(replayed) == 0, replayed["_change_type"].value_counts()
+    assert len(feed_after) == len(feed_before) + 0
+
+
+def test_cdf_tombstone_semantics(spark, tmp_path):
+    """Stale row under an existing tombstone emits nothing (the table stays
+    dead); a genuinely newer row re-inserting a deleted key emits insert."""
+    import pandas as pd
+
+    from couch_to_mongo_spark.operators.merge import with_engine_schema
+    from couch_to_mongo_spark.schemas import TRANSCRIPT_SCHEMA
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), with_engine_schema(TRANSCRIPT_SCHEMA), n_buckets=2
+    )
+    cdf = ChangeFeedLog(spark, str(tmp_path / "cdf"))
+    base = make_changes_df(n_events=50, n_convs=3, seed=64, delete_frac=0.0)
+    proto = base.iloc[0]
+    key = dict(conv_id=proto["conv_id"], turn_idx=proto["turn_idx"])
+
+    def row(seq, op, text):
+        r = proto.copy()
+        r["seq"], r["op"], r["text"], r["_rev"] = seq, op, text, f"{seq}-x"
+        return r
+
+    # b0: insert (seq=10); b1: delete (seq=20)
+    merge_batch(table, spark.createDataFrame(pd.DataFrame([row(10, "i", "v1")])),
+                run_id="r", batch_id=0, cdf=cdf)
+    merge_batch(table, spark.createDataFrame(pd.DataFrame([row(20, "d", "v1")])),
+                run_id="r", batch_id=1, cdf=cdf)
+    # b2: STALE update (seq=15, below the tombstone) -> must emit nothing
+    merge_batch(table, spark.createDataFrame(pd.DataFrame([row(15, "u", "stale")])),
+                run_id="r", batch_id=2, cdf=cdf)
+    # b3: newer re-insert (seq=30) -> must emit insert
+    merge_batch(table, spark.createDataFrame(pd.DataFrame([row(30, "u", "v2")])),
+                run_id="r", batch_id=3, cdf=cdf)
+
+    feed = cdf.read(table).toPandas()
+    by_batch = {
+        b: list(g["_change_type"]) for b, g in feed.groupby("_batch_id")
+    }
+    assert by_batch[0] == ["insert"]
+    assert by_batch[1] == ["delete"]
+    assert 2 not in by_batch, by_batch.get(2)
+    assert by_batch[3] == ["insert"]
+    state = read_state(table).toPandas()
+    live = state[(state.conv_id == key["conv_id"]) & (state.turn_idx == key["turn_idx"])]
+    assert list(live["text"]) == ["v2"]
