@@ -668,3 +668,63 @@ def pq_recall_at_k(
         return hits / (n_queries * k)
     finally:
         codes.unpersist()
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+    refine: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full ANN index stack composed: IVF routing x PQ compression x
+    exact refine — FAISS's IVFPQ(+refine) as DataFrame ops.
+
+    1. route: the query's ``nprobe`` nearest coarse centroids are picked on
+       the driver (centroids are a tiny local list); only vectors assigned
+       to those lists survive — at scale the assignment is the partition
+       key, so this is partition pruning, not a filter scan;
+    2. score: ADC over the survivors' m-byte PQ codes (per-subspace lookup
+       tables, no vector math) — the scan reads codes, not vectors;
+    3. refine: the ADC shortlist's EXACT vectors are fetched (O(shortlist)
+       id-pushdown join) and re-ranked by true L2.
+
+    ``centroids`` / ``codebooks`` accept pre-trained quantizers
+    (:func:`kmeans_train` / :func:`pq_train`); defaults train inline —
+    fine for tests, wasteful per-query in production (train once, reuse).
+    Output: (id, adc_dist ascending; exact distance when refining)."""
+    if centroids is None:
+        centroids = kmeans_train(
+            df, k=n_centroids, n_iters=2, vec_col=vec_col, id_col=id_col
+        )
+    if codebooks is None:
+        codebooks = pq_train(df, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col)
+
+    q = [float(x) for x in query_vec]
+    by_dist = sorted(
+        centroids,
+        key=lambda c: (sum((a - b) * (a - b) for a, b in zip(q, c[1])), c[0]),
+    )
+    probed = [int(c[0]) for c in by_dist[:nprobe]]
+
+    assign = ivf_assign(df, vec_col=vec_col, id_col=id_col, centroids=centroids)
+    survivors = df.join(
+        assign.where(F.col("centroid_id").isin(probed)).select(id_col), id_col
+    )
+    codes = pq_encode(survivors, codebooks, vec_col=vec_col, id_col=id_col)
+    return pq_adc_topk(
+        codes,
+        q,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        refine_with=survivors if refine else None,
+        vec_col=vec_col,
+    )

@@ -48,3 +48,41 @@ def test_pq_codes_are_m_small_ints(spark, emb):
     assert [f.name for f in codes.schema.fields] == ["vec_id", "c0", "c1", "c2", "c3"]
     row = codes.orderBy("vec_id").limit(50).collect()
     assert all(0 <= r[f"c{j}"] < 8 for r in row for j in range(4))
+
+
+def test_ivf_pq_topk_routes_and_refines(spark, emb):
+    """Composed IVF x PQ x refine: top-k from the probed lists only, exact
+    re-rank — must recover most of the exact top-k (the query's cluster is
+    within the probed lists on the clustered fixture)."""
+    from couch_to_mongo_spark.functions.vectors import (
+        _l2sq,
+        ivf_pq_topk,
+        kmeans_train,
+        pq_train,
+    )
+    from pyspark.sql import functions as F
+
+    cents = kmeans_train(emb, k=8, n_iters=2)
+    books = pq_train(emb, m=4, ksub=8)
+    qrows = emb.orderBy("vec_id").limit(5).collect()
+    hits = 0
+    for qrow in qrows:
+        qid, qv = qrow["vec_id"], [float(x) for x in qrow["embedding"]]
+        exact = (
+            emb.where(F.col("vec_id") != qid)
+            .select(
+                "vec_id",
+                F.sqrt(_l2sq(F.col("embedding").cast("array<double>"), qv)).alias("d"),
+            )
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        )
+        truth = {r["vec_id"] for r in exact}
+        got = ivf_pq_topk(
+            emb.where(F.col("vec_id") != qid), qv, k=10, nprobe=2,
+            centroids=cents, codebooks=books,
+        ).collect()
+        assert len(got) == 10
+        hits += len(truth & {r["vec_id"] for r in got})
+    assert hits / 50 >= 0.8, hits / 50
