@@ -90,6 +90,28 @@ class ChangeFeedLog:
         return df.where(cond)
 
 
+def feed_as_stream(
+    spark: SparkSession,
+    root: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The change feed as a Structured Streaming source — the CDC-OUT leg:
+    a downstream job tails the feed directory exactly like this engine
+    tails the upstream `_changes` log, so replication chains compose
+    (upstream feed -> table -> CDF -> replica -> ...). ``schema`` is the
+    feed row schema (table columns + CDF meta columns); the parquet file
+    source provides checkpointed, at-least-once delivery, and the feed's
+    per-(run,batch) overwrite idempotence plus the consumer's own LWW fold
+    make the chain exactly-once end to end."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("basePath", root).parquet(
+        os.path.join(root, "run=*", "batch=*")
+    )
+
+
 def classify_changes(
     batch: DataFrame,
     existing_winners: DataFrame,

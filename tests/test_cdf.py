@@ -208,3 +208,55 @@ def test_cdf_tombstone_semantics(spark, tmp_path):
     state = read_state(table).toPandas()
     live = state[(state.conv_id == key["conv_id"]) & (state.turn_idx == key["turn_idx"])]
     assert list(live["text"]) == ["v2"]
+
+
+def test_cdf_feeds_a_downstream_replica_stream(spark, tmp_path):
+    """CDC-out end to end: a Structured Streaming consumer tails the change
+    feed and MERGEs it into a second LakeTable — the replica converges to
+    the primary's exact live state (replication chains compose)."""
+    from pyspark.sql import functions as F
+
+    from couch_to_mongo_spark.operators.cdf import feed_as_stream
+
+    table, cdf, pdf, _ = _setup(spark, tmp_path, n_events=1500)
+
+    feed_schema = cdf.read(table, committed_only=False).schema
+    mirror = LakeTable.create(
+        spark, str(tmp_path / "mirror"), with_engine_schema(TRANSCRIPT_SCHEMA),
+        n_buckets=2,
+    )
+
+    def apply_batch(batch_df, batch_id):
+        # post-images + tombstones only; the feed's _seq/_rev drive the
+        # replica's own LWW, so redelivery is harmless
+        rows = (
+            batch_df.where(
+                F.col("_change_type").isin("insert", "update_postimage", "delete")
+            )
+            .withColumn(
+                "op", F.when(F.col("_change_type") == "delete", "d").otherwise("u")
+            )
+            .withColumnRenamed("_seq", "seq")
+            .drop("_change_type", "_run_id", "_batch_id", "_deleted")
+        )
+        from couch_to_mongo_spark.operators.merge import merge_batch as mb
+
+        mb(mirror, rows, run_id="mirror", batch_id=batch_id, collect_stats=False)
+
+    q = (
+        feed_as_stream(spark, cdf.root, feed_schema, max_files_per_trigger=2)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "mirror_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    primary = read_state(table).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    replica = read_state(mirror).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(primary) == len(replica)
+    assert (primary["conv_id"] == replica["conv_id"]).all()
+    assert (primary["turn_idx"] == replica["turn_idx"]).all()
+    assert (primary["text"] == replica["text"]).all()
