@@ -863,6 +863,45 @@ FROM comp WHERE ROUND(dp / (sqrt(na) * sqrt(nb)), 5) >= 0.3
 """
 
 
+def q_embedding_dedup_groups(spark, sf_dir):
+    """Embedding-space dedup groups: blocked cosine near-dup pairs closed
+    into connected components (the same large-star/small-star fixpoint as
+    the text pipelines) — every vector mapped to its component-min group.
+    Completes the dedup-family matrix: exact / jaccard / LSH / simhash /
+    embedding all share one grouping endgame."""
+    from couch_to_mongo_spark.operators.components import (
+        attach_components,
+        connected_components,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = V.neardup_pairs_by_label(emb, threshold=0.3)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return attach_components(emb, comp, id_col="vec_id", out_col="group_id")
+
+
+SQL_EMB_DEDUP_GROUPS = """
+WITH RECURSIVE comp AS (
+  SELECT a.label AS lbl, a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(a.embedding[i.i]::DOUBLE * b.embedding[i.i]::DOUBLE) AS dp,
+         sum(a.embedding[i.i]::DOUBLE * a.embedding[i.i]::DOUBLE) AS na,
+         sum(b.embedding[i.i]::DOUBLE * b.embedding[i.i]::DOUBLE) AS nb
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  CROSS JOIN range(1, 65) i(i)
+  GROUP BY 1, 2, 3),
+pairs AS (SELECT id_a, id_b FROM comp
+          WHERE ROUND(dp / (sqrt(na) * sqrt(nb)), 5) >= 0.3),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS vec_id, MIN(lbl) AS group_id FROM reach GROUP BY id
+"""
+
+
 def q_lsh_ann_buckets(spark, sf_dir):
     return V.lsh_bucket_ann(_t(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
 
@@ -1159,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "cosine_topk": q_cosine_topk,
         "neardup_cosine": q_neardup_cosine,
+        "embedding_dedup_groups": q_embedding_dedup_groups,
         "lsh_ann_buckets": q_lsh_ann_buckets,
         "ivf_assign": q_ivf_assign,
         "ivf_train_assign": q_ivf_train_assign,
@@ -1204,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKENS,
         "cosine_topk": SQL_COSINE_TOPK,
         "neardup_cosine": SQL_NEARDUP,
+        "embedding_dedup_groups": SQL_EMB_DEDUP_GROUPS,
         "lsh_ann_buckets": SQL_LSH_ANN,
         "ivf_assign": SQL_IVF_ASSIGN,
         "ivf_train_assign": SQL_IVF_TRAIN,

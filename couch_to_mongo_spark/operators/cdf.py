@@ -89,6 +89,34 @@ class ChangeFeedLog:
             cond = c if cond is None else (cond | c)
         return df.where(cond)
 
+    def expire(self, table, keep_batches: int = 1000) -> list[str]:
+        """Feed retention: drop batch directories more than ``keep_batches``
+        below each run's fenced high-water mark — a feed is otherwise
+        append-forever. Consumers must stay within the retained lag (same
+        contract as snapshot retention for `read_appended`). Batches of a
+        run with no fence entry are kept (they are either orphans worth
+        inspecting or a run whose first commit is in flight). Returns the
+        removed directories."""
+        return _expire_impl(self.root, table.snapshot().fences, keep_batches)
+
+
+def _expire_impl(root: str, fences: dict, keep_batches: int) -> list[str]:
+    import glob as _glob
+    import shutil
+
+    removed = []
+    for run_dir in _glob.glob(os.path.join(root, "run=*")):
+        run = os.path.basename(run_dir)[len("run="):]
+        hi = fences.get(run)
+        if hi is None:
+            continue  # never-committed run: keep for inspection
+        for bdir in _glob.glob(os.path.join(run_dir, "batch=*")):
+            bid = int(os.path.basename(bdir)[len("batch="):])
+            if bid <= hi[0] - keep_batches:
+                shutil.rmtree(bdir, ignore_errors=True)
+                removed.append(bdir)
+    return removed
+
 
 def feed_as_stream(
     spark: SparkSession,

@@ -89,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--include-uncommitted", action="store_true")
+    p.add_argument("--expire-keep", type=int, default=None,
+                   help="drop batches more than N below each run's fence "
+                        "instead of printing rows")
 
     p = sub.add_parser("vacuum", help="expire old snapshots + reclaim orphans")
     p.add_argument("--table", required=True)
@@ -215,6 +218,12 @@ def main(argv: list[str] | None = None) -> int:
         from couch_to_mongo_spark.tableformat import LakeTable
 
         log = ChangeFeedLog(spark, os.path.join(args.table, "_changes"))
+        if args.expire_keep is not None:
+            removed = log.expire(
+                LakeTable(spark, args.table), keep_batches=args.expire_keep
+            )
+            print(json.dumps({"expired_batches": len(removed)}))
+            return 0
         feed = log.read(
             LakeTable(spark, args.table),
             committed_only=not args.include_uncommitted,

@@ -260,3 +260,28 @@ def test_cdf_feeds_a_downstream_replica_stream(spark, tmp_path):
     assert (primary["conv_id"] == replica["conv_id"]).all()
     assert (primary["turn_idx"] == replica["turn_idx"]).all()
     assert (primary["text"] == replica["text"]).all()
+
+
+def test_cdf_expire_retention(spark, tmp_path):
+    """Feed retention drops batches below (fence high-water - keep), keeps
+    the tail and never-committed (orphan) runs."""
+    table, cdf, pdf, _ = _setup(spark, tmp_path, n_events=1500)  # batches 0..2
+    from pyspark.sql import functions as F
+
+    orphan = (
+        cdf.read(table, committed_only=False)
+        .limit(3)
+        .withColumn("_run_id", F.lit("ghost"))
+        .withColumn("_batch_id", F.lit(0))
+    )
+    cdf.append(orphan, run_id="ghost", batch_id=0)
+
+    removed = cdf.expire(table, keep_batches=2)
+    assert [d for d in removed if "run=r/" in d or "/run=r" in d]
+    feed = cdf.read(table, committed_only=False).toPandas()
+    kept = set(feed[feed["_run_id"] == "r"]["_batch_id"].unique())
+    assert kept == {1, 2}  # batch 0 <= 2 - 2 expired
+    # ghost run untouched (no fence entry)
+    import os
+
+    assert os.path.isdir(os.path.join(cdf.root, "run=ghost", "batch=00000000"))
