@@ -762,6 +762,36 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition filters: duplicate-line fraction,
+    duplicate-3gram fraction, top-2gram fraction — the self-repetition
+    signal token filters miss."""
+    return X.repetition_features(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION = f"""
+WITH docs AS (SELECT doc_id, text, {_TOKS('text')} AS tk FROM documents),
+lf AS (SELECT doc_id,
+         ROUND(1 - len(list_distinct(string_split(text, chr(10))))::DOUBLE
+                 / len(string_split(text, chr(10))), 6) AS dup_line_frac
+       FROM docs),
+g3 AS (SELECT doc_id, unnest(list_transform(
+         generate_series(1, greatest(len(tk)-2, 1)),
+         i -> array_to_string(tk[i:i+2], ' '))) AS g FROM docs),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+r3 AS (SELECT doc_id, ROUND(1 - count(*)::DOUBLE / sum(c), 6) AS dup_3gram_frac
+       FROM c3 GROUP BY doc_id),
+g2 AS (SELECT doc_id, unnest(list_transform(
+         generate_series(1, greatest(len(tk)-1, 1)),
+         i -> array_to_string(tk[i:i+1], ' '))) AS g FROM docs),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+r2 AS (SELECT doc_id, ROUND(max(c)::DOUBLE / sum(c), 6) AS top_2gram_frac
+       FROM c2 GROUP BY doc_id)
+SELECT lf.doc_id, dup_line_frac, dup_3gram_frac, top_2gram_frac
+FROM lf JOIN r3 USING (doc_id) JOIN r2 USING (doc_id)
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return X.lang_id(_t(spark, sf_dir, "documents"))
 
@@ -1195,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
+        "repetition_features": q_repetition,
         "token_counts": q_token_counts,
         "cosine_topk": q_cosine_topk,
         "neardup_cosine": q_neardup_cosine,
@@ -1241,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "lang_id": SQL_LANG,
         "quality_score": SQL_QUALITY,
+        "repetition_features": SQL_REPETITION,
         "token_counts": SQL_TOKENS,
         "cosine_topk": SQL_COSINE_TOPK,
         "neardup_cosine": SQL_NEARDUP,

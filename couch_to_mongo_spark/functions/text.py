@@ -665,3 +665,57 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality filters — the Gopher / C4 family: heavily
+    self-repeating documents (boilerplate, scraped nav, generation loops)
+    are the classic low-quality signal a token-level filter misses.
+
+    - ``dup_line_frac``: 1 - distinct/total raw lines (array expression,
+      no shuffle);
+    - ``dup_3gram_frac``: 1 - distinct/total word 3-grams;
+    - ``top_2gram_frac``: occurrences of the most frequent 2-gram over
+      total 2-grams.
+
+    The n-gram stats are relational (explode -> count per (doc, gram) ->
+    per-doc aggregate): per-doc work is bounded and the shuffle key is
+    (doc, gram) — skew-free, same shape as the SimHash vote aggregation.
+    An array-HOF formulation (count occurrences per distinct gram inside
+    one row) would be O(len^2) interpreted per document."""
+    d = df.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_tk")
+    )
+    lines = F.split(F.col(text_col), "\n")
+    base = d.select(
+        F.col(id_col),
+        F.round(
+            1
+            - F.size(F.array_distinct(lines))
+            / F.size(lines).cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+        shingles_from_tokens(F.col("_tk"), 3).alias("_g3"),
+        shingles_from_tokens(F.col("_tk"), 2).alias("_g2"),
+    )
+
+    def gram_stats(col, agg_expr, out):
+        ex = base.select(F.col(id_col), F.explode(col).alias("_g"))
+        counts = ex.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+        return counts.groupBy(id_col).agg(agg_expr.alias(out))
+
+    r3 = gram_stats(
+        F.col("_g3"),
+        F.round(1 - F.count(F.lit(1)) / F.sum("_c").cast("double"), 6),
+        "dup_3gram_frac",
+    )
+    r2 = gram_stats(
+        F.col("_g2"),
+        F.round(F.max("_c") / F.sum("_c").cast("double"), 6),
+        "top_2gram_frac",
+    )
+    return (
+        base.select(id_col, "dup_line_frac").join(r3, id_col).join(r2, id_col)
+    )

@@ -164,3 +164,22 @@ def test_simhash_pairs_complete_vs_bruteforce(spark):
     }
     assert got == brute
     assert brute, "fixture produced no close simhash pairs"
+
+
+def test_repetition_features_rank_repetitive_docs(spark):
+    """Semantic sanity: a doc that repeats one line/phrase scores higher on
+    every repetition metric than a diverse doc."""
+    import couch_to_mongo_spark.functions.text as X
+
+    docs = spark.createDataFrame(
+        [
+            ("rep", "buy now click here\n" * 6 + "buy now click here"),
+            ("div", "the quick brown fox jumps over a lazy dog near riverbanks today"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in X.repetition_features(docs).collect()}
+    for c in ("dup_line_frac", "dup_3gram_frac", "top_2gram_frac"):
+        assert got["rep"][c] > got["div"][c], (c, got)
+    assert got["rep"]["dup_line_frac"] > 0.8
+    assert got["div"]["dup_3gram_frac"] == 0.0
