@@ -680,42 +680,53 @@ def repetition_features(
     - ``top_2gram_frac``: occurrences of the most frequent 2-gram over
       total 2-grams.
 
-    The n-gram stats are relational (explode -> count per (doc, gram) ->
-    per-doc aggregate): per-doc work is bounded and the shuffle key is
-    (doc, gram) — skew-free, same shape as the SimHash vote aggregation.
-    An array-HOF formulation (count occurrences per distinct gram inside
-    one row) would be O(len^2) interpreted per document."""
-    d = df.select(
-        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_tk")
-    )
-    lines = F.split(F.col(text_col), "\n")
-    base = d.select(
-        F.col(id_col),
+    Plan shape (the repo's single-derivation rule): BOTH n-gram streams
+    ride ONE explode of one combined (n, hash15(gram)) struct array — a
+    first cut derived the tokenize+shingle base once per consumer (three
+    branches) and ran 21 s at sf0.1; this shape is ~1-2 s. The shuffle key
+    is (doc, n, gram-hash) — 8-byte grams on the wire, skew-free; per-doc
+    stats for both n fall out of one conditional aggregation. An array-HOF
+    formulation (count occurrences per distinct gram inside one row) would
+    be O(len^2) interpreted per document."""
+    d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+
+    # Each n-gram stream explodes a PLAIN string array and hashes/tags in a
+    # post-explode codegen projection. Do NOT move the hash (or an n-tag
+    # struct) into a transform lambda feeding the explode: Generate
+    # re-evaluates a non-attribute input per OUTPUT element, so a
+    # 105-gram/doc array with md5 in the lambda costs O(grams^2) md5s per
+    # doc — measured 20 s vs 0.5 s for this exact stage at sf0.1.
+    def gram_stream(n: int):
+        return d.select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("_s"),
+        ).select(
+            F.col(id_col), F.lit(n).alias("_n"), hash15(F.col("_s")).alias("_g")
+        )
+
+    ex = gram_stream(3).unionByName(gram_stream(2))
+    counts = ex.groupBy(id_col, "_n", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    is3, is2 = F.col("_n") == 3, F.col("_n") == 2
+    stats = counts.groupBy(id_col).agg(
         F.round(
             1
-            - F.size(F.array_distinct(lines))
-            / F.size(lines).cast("double"),
+            - F.count(F.when(is3, 1))
+            / F.sum(F.when(is3, F.col("_c"))).cast("double"),
             6,
+        ).alias("dup_3gram_frac"),
+        F.round(
+            F.max(F.when(is2, F.col("_c")))
+            / F.sum(F.when(is2, F.col("_c"))).cast("double"),
+            6,
+        ).alias("top_2gram_frac"),
+    )
+    lines = F.split(F.col(text_col), "\n")
+    line_frac = df.select(
+        F.col(id_col),
+        F.round(
+            1 - F.size(F.array_distinct(lines)) / F.size(lines).cast("double"), 6
         ).alias("dup_line_frac"),
-        shingles_from_tokens(F.col("_tk"), 3).alias("_g3"),
-        shingles_from_tokens(F.col("_tk"), 2).alias("_g2"),
     )
-
-    def gram_stats(col, agg_expr, out):
-        ex = base.select(F.col(id_col), F.explode(col).alias("_g"))
-        counts = ex.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
-        return counts.groupBy(id_col).agg(agg_expr.alias(out))
-
-    r3 = gram_stats(
-        F.col("_g3"),
-        F.round(1 - F.count(F.lit(1)) / F.sum("_c").cast("double"), 6),
-        "dup_3gram_frac",
-    )
-    r2 = gram_stats(
-        F.col("_g2"),
-        F.round(F.max("_c") / F.sum("_c").cast("double"), 6),
-        "top_2gram_frac",
-    )
-    return (
-        base.select(id_col, "dup_line_frac").join(r3, id_col).join(r2, id_col)
+    return line_frac.join(stats, id_col).select(
+        id_col, "dup_line_frac", "dup_3gram_frac", "top_2gram_frac"
     )
