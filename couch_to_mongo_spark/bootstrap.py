@@ -75,8 +75,14 @@ def bulk_bootstrap(
     df = df.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets))
     n_parts = n_buckets * max(files_per_bucket, 1)
     if files_per_bucket > 1:
+        # Salt hash seeded independently of the bucket hash (extra literal
+        # arg): pmod(h, n_buckets) and pmod(h, files_per_bucket) of the SAME
+        # h are congruent whenever files_per_bucket divides n_buckets, which
+        # leaves hot buckets unsplit (matches dedup.py bucket_partitioned_lww).
         df = df.repartition(
-            n_parts, F.col(BUCKET_COL), F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(files_per_bucket))
+            n_parts,
+            F.col(BUCKET_COL),
+            F.pmod(F.xxhash64(F.col(key_cols[0]), F.lit(1)), F.lit(files_per_bucket)),
         )
     else:
         df = df.repartition(n_parts, F.col(BUCKET_COL))

@@ -515,6 +515,8 @@ def pq_train(
     the list POSITION is the code value.
     """
     first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError("cannot train PQ on an empty dataframe")
     dim = int(first[0]["d"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -66,16 +66,40 @@ class ChangeFeedLog:
         batches at-or-below each run's fenced high-water mark only — orphan
         rows from a crashed, never-committed batch are excluded. A feed
         that was never written (no --emit-cdf, or no batch yet) reads as an
-        empty meta-columns-only frame instead of a PATH_NOT_FOUND error."""
+        empty frame with the FULL feed schema when ``table`` is given
+        (table columns minus the tombstone flag, plus the meta columns) —
+        so consumers selecting table columns, or unioning the empty read
+        with a later non-empty one, behave identically in the empty case.
+        Without a table the empty read is meta-columns-only (the schema is
+        unknowable)."""
         import glob
 
         if not glob.glob(os.path.join(self.root, "run=*", "batch=*")):
+            if table is not None:
+                from pyspark.sql import types as T
+
+                from couch_to_mongo_spark.operators.merge import DELETED_COL
+
+                fields = [
+                    f
+                    for f in table.snapshot().schema.fields
+                    if f.name != DELETED_COL
+                ] + [
+                    T.StructField(CHANGE_TYPE_COL, T.StringType(), True),
+                    T.StructField("_run_id", T.StringType(), True),
+                    T.StructField("_batch_id", T.IntegerType(), True),
+                ]
+                return self.spark.createDataFrame([], T.StructType(fields))
             return self.spark.createDataFrame(
                 [], f"{CHANGE_TYPE_COL} string, _run_id string, _batch_id int"
             )
         df = self.spark.read.option("basePath", self.root).parquet(
             os.path.join(self.root, "run=*", "batch=*")
         )
+        # drop the directory-inferred partition columns: they duplicate the
+        # stored _run_id/_batch_id and would make the feed schema differ
+        # from the (directory-less) empty-feed read
+        df = df.drop("run", "batch")
         if not committed_only:
             return df
         if table is None:

@@ -112,9 +112,18 @@ def connected_components(
         stepped = _canon(_small_star(_large_star(edges)))
         stepped = stepped.localCheckpoint(eager=True)
         new_sig = _signature(stepped)
+        converged = False
+        if new_sig == sig:
+            # The fingerprint (count + xxhash64 sum) gates iterations
+            # cheaply, but it is probabilistic — confirm the final round
+            # with ONE exact set-equality check so correctness never rests
+            # on a hash sum. Equal counts (from the signature) + distinct
+            # sets make one-directional exceptAll sufficient; both frames
+            # are checkpointed, so this scans materialized data only.
+            converged = stepped.exceptAll(edges).isEmpty()
         edges.unpersist()
         edges = stepped
-        if new_sig == sig:
+        if converged:
             break
         sig = new_sig
     else:

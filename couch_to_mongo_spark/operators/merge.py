@@ -241,6 +241,7 @@ def merge_batch(
     evolved = evolve_schema(snap.schema, with_engine_schema(T.StructType(payload_fields)))
 
     b = b.persist()
+    ex_cache = None
     try:
         touched = [r[0] for r in b.select(BUCKET_COL).distinct().collect()]
         if not touched:
@@ -269,6 +270,12 @@ def merge_batch(
             )
             ex = with_rev_gen(src, rev_col=REV_COL)
             ex = lww_dedup(ex, key_cols, [SEQ_COL, "rev_gen", REV_COL]).drop("rev_gen")
+            if collect_stats and cdf is not None:
+                # both consumers (CDF classification join + stats ex_keys
+                # join) read the same pre-state scan+dedup: persist it so
+                # the touched-bucket read and LWW run once per batch
+                ex_cache = ex.persist()
+                ex = ex_cache
             ex_live = ex.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
             ex_keys = ex_live.select(*key_cols).withColumn("_m", F.lit(1))
         if cdf is not None:
@@ -367,6 +374,8 @@ def merge_batch(
         return result
     finally:
         b.unpersist()
+        if ex_cache is not None:
+            ex_cache.unpersist()
         if poison_cache is not None:
             poison_cache.unpersist()
 
@@ -417,32 +426,56 @@ def _transform_and_quarantine(b, transform_after_dedup, dead_letter, run_id, bat
         b = poison_cache.where(F.col(POISON_COL).isNull()).drop(POISON_COL)
     return b, n_poison, poison_cache
 
+def _one_footer(path: str) -> tuple[int, int | None, int | None]:
+    """(rows, seq_min, seq_max) of one parquet file from its footer."""
+    import pyarrow.parquet as _pq
+
+    md = _pq.read_metadata(path)
+    fmn, fmx = None, None
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if SEQ_COL in idx:
+        ci = idx[SEQ_COL]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is not None and st.has_min_max:
+                fmn = st.min if fmn is None else min(fmn, st.min)
+                fmx = st.max if fmx is None else max(fmx, st.max)
+    return md.num_rows, fmn, fmx
+
+
+# below this many files the thread-pool overhead beats the serial loop
+_FOOTER_PARALLEL_THRESHOLD = 32
+
+
 def _footer_seq_stats(table, new_files):
     """rows + min/max(_seq) of the freshly written delta files, read from
     parquet footers (metadata-only I/O). Also returns the per-file stats
     dict {relpath: [rows, seq_min, seq_max]} persisted into the snapshot
-    for seq-range scan pruning (LakeTable.read(min_seq=...))."""
+    for seq-range scan pruning (LakeTable.read(min_seq=...)).
+
+    Per-micro-batch MERGE touches O(touched buckets) files — a serial loop
+    is fine. Whole-table writers (bulk_bootstrap, rescale_buckets) hand in
+    every file of the table, so above a threshold the footer reads fan out
+    to a thread pool (pyarrow releases the GIL on I/O): a 10^5-file table
+    must not pay 10^5 serial opens in its commit path."""
     import os as _os
 
-    import pyarrow.parquet as _pq
+    rel = [f for fl in new_files.values() for f in fl]
+    paths = [_os.path.join(table.path, f) for f in rel]
+    if len(paths) > _FOOTER_PARALLEL_THRESHOLD:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(paths))) as pool:
+            stats = list(pool.map(_one_footer, paths))
+    else:
+        stats = [_one_footer(p) for p in paths]
 
     rows, mn, mx = 0, None, None
     per_file: dict[str, list] = {}
-    for fl in new_files.values():
-        for f in fl:
-            md = _pq.read_metadata(_os.path.join(table.path, f))
-            rows += md.num_rows
-            fmn, fmx = None, None
-            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            if SEQ_COL in idx:
-                ci = idx[SEQ_COL]
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    if st is not None and st.has_min_max:
-                        fmn = st.min if fmn is None else min(fmn, st.min)
-                        fmx = st.max if fmx is None else max(fmx, st.max)
-            per_file[f] = [md.num_rows, fmn, fmx]
-            if fmn is not None:
-                mn = fmn if mn is None else min(mn, fmn)
-                mx = fmx if mx is None else max(mx, fmx)
+    for f, (n, fmn, fmx) in zip(rel, stats):
+        rows += n
+        per_file[f] = [n, fmn, fmx]
+        if fmn is not None:
+            mn = fmn if mn is None else min(mn, fmn)
+            mx = fmx if mx is None else max(mx, fmx)
     return rows, mn, mx, per_file

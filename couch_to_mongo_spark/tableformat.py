@@ -597,7 +597,13 @@ class LakeTable:
                 fences=fences,
                 file_stats=stats,
                 manifests=manifests,
-                committed_at=time.time(),
+                # clamp to parent: version_as_of's backward walk assumes
+                # committed_at is non-decreasing across versions, which a
+                # backwards wall-clock step would otherwise break
+                committed_at=max(
+                    time.time(),
+                    prev.committed_at if prev.committed_at is not None else 0.0,
+                ),
             )
             try:
                 self._write_snapshot(snap)

@@ -285,3 +285,25 @@ def test_cdf_expire_retention(spark, tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(cdf.root, "run=ghost", "batch=00000000"))
+
+
+def test_empty_feed_reads_with_full_schema(spark, tmp_path):
+    """A never-written feed must read as an empty frame with the FULL feed
+    schema (table columns minus _deleted + meta columns) when the table is
+    given, so selects/unions behave identically in the empty case."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), with_engine_schema(TRANSCRIPT_SCHEMA), n_buckets=4
+    )
+    cdf = ChangeFeedLog(spark, str(tmp_path / "cdf"))
+    empty = cdf.read(table=table)
+    assert empty.count() == 0
+    table_cols = [f.name for f in table.snapshot().schema.fields if f.name != "_deleted"]
+    assert empty.columns == table_cols + ["_change_type", "_run_id", "_batch_id"]
+    # selecting table columns must not raise, and unioning with a real
+    # feed read must line up by name
+    empty.select("conv_id", "turn_idx", "text").count()
+
+    pdf = make_changes_df(n_events=200, n_convs=5, seed=7)
+    merge_batch(table, spark.createDataFrame(pdf), run_id="r", batch_id=0, cdf=cdf)
+    real = cdf.read(table=table)
+    assert empty.unionByName(real).count() == real.count()

@@ -304,3 +304,33 @@ def test_bucket_salt_independent_of_bucket_hash(spark):
     )
     assert len(per_bucket) == 16
     assert all(r["ns"] > 1 for r in per_bucket)
+
+
+def test_bootstrap_salt_splits_files_per_bucket(spark, tmp_table_path):
+    """bulk_bootstrap(files_per_bucket=4) must write >1 file per bucket.
+    With the salt derived from the same unseeded hash as the bucket
+    (4 | 16 ⇒ salt constant per bucket) every bucket silently collapses to
+    one file; the seeded salt actually splits."""
+    from pyspark.sql import functions as F
+
+    from couch_to_mongo_spark.bootstrap import bulk_bootstrap
+
+    src = spark.range(4000).select(
+        F.concat(F.lit("conv-"), F.col("id")).alias("conv_id"),
+        (F.col("id") % 5).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    table, result = bulk_bootstrap(
+        spark,
+        tmp_table_path,
+        src,
+        n_buckets=16,
+        files_per_bucket=4,
+        normalize=False,
+    )
+    snap = table.snapshot()
+    files_per_bucket = [len(v) for v in snap.files.values()]
+    assert len(files_per_bucket) == 16
+    assert all(n > 1 for n in files_per_bucket), files_per_bucket
+    assert result.rows_applied == 4000
