@@ -932,6 +932,61 @@ SELECT id AS vec_id, MIN(lbl) AS group_id FROM reach GROUP BY id
 """
 
 
+def q_embedding_dedup_groups_lsh(spark, sf_dir):
+    """PRODUCTION embedding dedup (functions/vectors.py
+    embedding_dedup_groups_lsh): LSH-blocked candidate pairs (symmetric
+    multi-probe — no label column needed) -> exact cosine verify ->
+    connected-components closure. The label-free twin of
+    q_embedding_dedup_groups; the oracle replays the identical
+    plane/probe/cap pipeline including the recursive closure."""
+    return V.embedding_dedup_groups_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        n_planes=8,
+        dim=64,
+        probes=1,
+        max_bucket_size=200,
+    )
+
+
+SQL_EMB_DEDUP_GROUPS_LSH = """
+WITH RECURSIVE p AS (
+  SELECT i.i AS pi, j.j AS pj,
+         (CAST('0x' || substr(md5('pl' || CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 15) AS BIGINT)
+          % 2001 - 1000) / 1000.0 AS w
+  FROM range(0, 8) i(i) CROSS JOIN range(0, 64) j(j)),
+d AS (SELECT e.vec_id, p.pi, sum(e.embedding[p.pj + 1]::DOUBLE * p.w) AS dp
+      FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, p.pi),
+b AS (SELECT vec_id,
+        CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << pi) ELSE 0 END) AS BIGINT) AS bucket
+      FROM d GROUP BY vec_id),
+m AS (SELECT 0::BIGINT AS mm UNION ALL SELECT (1::BIGINT << i.i) FROM range(0, 8) i(i)),
+pb AS (SELECT vec_id, xor(bucket, mm) AS pbucket FROM b CROSS JOIN m),
+ok AS (SELECT pb.vec_id, pb.pbucket FROM pb
+       JOIN (SELECT pbucket, count(*) AS c FROM pb GROUP BY 1) s USING (pbucket)
+       WHERE s.c BETWEEN 2 AND 200),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         FROM ok a JOIN ok b2 ON a.pbucket = b2.pbucket AND a.vec_id < b2.vec_id),
+comp AS (SELECT c.id_a, c.id_b,
+          sum(x.embedding[i.i]::DOUBLE * y.embedding[i.i]::DOUBLE) AS dp,
+          sum(x.embedding[i.i]::DOUBLE * x.embedding[i.i]::DOUBLE) AS na,
+          sum(y.embedding[i.i]::DOUBLE * y.embedding[i.i]::DOUBLE) AS nb
+         FROM cand c JOIN embeddings x ON x.vec_id = c.id_a
+                     JOIN embeddings y ON y.vec_id = c.id_b
+         CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM comp
+          WHERE ROUND(dp / (sqrt(na) * sqrt(nb)), 5) >= 0.3),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS vec_id, MIN(lbl) AS group_id FROM reach GROUP BY id
+"""
+
+
 def q_lsh_ann_buckets(spark, sf_dir):
     return V.lsh_bucket_ann(_t(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
 
@@ -1230,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "neardup_cosine": q_neardup_cosine,
         "embedding_dedup_groups": q_embedding_dedup_groups,
+        "embedding_dedup_groups_lsh": q_embedding_dedup_groups_lsh,
         "lsh_ann_buckets": q_lsh_ann_buckets,
         "ivf_assign": q_ivf_assign,
         "ivf_train_assign": q_ivf_train_assign,
@@ -1277,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "neardup_cosine": SQL_NEARDUP,
         "embedding_dedup_groups": SQL_EMB_DEDUP_GROUPS,
+        "embedding_dedup_groups_lsh": SQL_EMB_DEDUP_GROUPS_LSH,
         "lsh_ann_buckets": SQL_LSH_ANN,
         "ivf_assign": SQL_IVF_ASSIGN,
         "ivf_train_assign": SQL_IVF_TRAIN,

@@ -257,6 +257,130 @@ def planted_neardup_recall(
     return hits / n_queries
 
 
+def emb_lsh_candidate_pairs(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    probes: int = 1,
+    max_bucket_size: int = 200,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Label-free blocking for embedding near-dup detection: candidate
+    (id_a < id_b) pairs whose LSH signatures land in a common probed
+    bucket. This is the production blocking key — real corpora carry no
+    label column, so the block must come from the vectors themselves.
+
+    Symmetric multi-probe: every vector is expanded to all buckets within
+    ``probes`` bit flips of its own (the same masks as query-side
+    multi-probe, :func:`_probe_masks`), so two vectors become candidates
+    iff their signatures are within ``2*probes`` Hamming distance — each
+    weight-<=2p XOR splits into two weight-<=p masks. Recall is tunable by
+    (n_planes, probes) exactly like the ANN path.
+
+    Plan (the text-LSH shape, text.py lsh_verified_pairs): one scan
+    computes signatures (codegen), ONE shuffle groups ids per probed
+    bucket into sorted posting lists, oversized buckets (degenerate
+    collision storms — at 8 planes a near-zero-norm cluster) are dropped
+    by the same guard as the jaccard df cutoff, and pairs expand LOCALLY
+    per list (array HOF, no self-join shuffle), distinct across probes."""
+    from couch_to_mongo_spark.functions.text import _local_pairs
+
+    base = lsh_bucket_ann(df, n_planes, dim, vec_col, id_col)
+    masks = _probe_masks(n_planes, probes)
+    probed = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("pbucket"),
+    )
+    inv = (
+        probed.groupBy("pbucket")
+        .agg(F.collect_list(id_col).alias("_ids0"))
+        .where((F.size("_ids0") >= 2) & (F.size("_ids0") <= max_bucket_size))
+        .select(F.array_sort("_ids0").alias("_ids"))
+    )
+    return (
+        inv.select(F.explode(_local_pairs(F.col("_ids"))).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
+        .distinct()
+    )
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    dim: int = 64,
+    probes: int = 1,
+    max_bucket_size: int = 200,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 5,
+) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a label column: LSH-blocked
+    candidates (:func:`emb_lsh_candidate_pairs`) verified by exact cosine —
+    the embedding twin of the text pipeline's candidates->verify stage
+    (text.py lsh_verified_pairs). Candidates the signatures never co-bucket
+    are missed — LSH's recall trade; the DuckDB oracle replays the
+    identical plane/probe/cap pipeline so the miss set is identical
+    cross-engine, and recall is measured separately on planted near-dups
+    (tests/test_ann.py recall assertions).
+
+    Norms materialize once per row before the join, so each of the
+    O(candidates) rows pays only the dot product."""
+    cand = emb_lsh_candidate_pairs(
+        df, n_planes, dim, probes, max_bucket_size, vec_col, id_col
+    )
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select(F.col(id_col), F.col("_v"), l2norm(F.col("_v")).alias("_n"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_dedup_groups_lsh(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    dim: int = 64,
+    probes: int = 1,
+    max_bucket_size: int = 200,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production embedding dedup at 100 TB: LSH-blocked candidates ->
+    exact cosine verify -> connected-components closure -> (vec_id,
+    group_id) for every vector. Same output contract as the label-blocked
+    exact twin (__spark_entry__.q_embedding_dedup_groups), but the blocking
+    key is derived from the vectors — usable on corpora with no labels.
+    The embedding mirror of text.py's lsh_dedup_groups."""
+    from couch_to_mongo_spark.operators.components import (
+        attach_components,
+        connected_components,
+    )
+
+    pairs = neardup_pairs_lsh(
+        df, threshold, n_planes, dim, probes, max_bucket_size, vec_col, id_col
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return attach_components(df, comp, id_col=id_col, out_col="group_id")
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the centroid-partition complement to LSH
 # ---------------------------------------------------------------------------

@@ -1,0 +1,93 @@
+"""Production (label-free) embedding dedup: LSH-blocked pairs -> components.
+
+The contract query's hash parity (test_entry_contract) proves the pipeline
+is deterministic cross-engine; these tests prove it is USEFUL — on a
+clustered fixture with planted near-duplicates (gen_sf.gen_embeddings),
+the label-free LSH groups must recover >=0.9 of the exact label-blocked
+ground-truth pairs, and every emitted pair must be a true positive.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_mongo_spark.functions import vectors as V
+from couch_to_mongo_spark.gen_sf import gen_embeddings
+
+
+N_VECS = 600
+TARGET_COS = 0.95
+THRESHOLD = 0.6  # well above intra-cluster noise (~0.12), below planted 0.95
+LSH_KW = dict(threshold=THRESHOLD, n_planes=10, dim=64, probes=2,
+              max_bucket_size=2000)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path_factory.mktemp("emb") / "embeddings.parquet")
+    pq.write_table(
+        gen_embeddings(N_VECS, dup_frac=0.08, target_cos=TARGET_COS, seed=5), p
+    )
+    return spark.read.parquet(p).persist()
+
+
+def test_planted_pair_recall_vs_exact_groups(emb):
+    """>=0.9 of the exact (label-blocked, all-pairs) near-dup pairs must
+    land in the same LSH group — the verdict's acceptance bar for the
+    label-free production path."""
+    exact_pairs = V.neardup_pairs_by_label(emb, threshold=THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    groups = V.embedding_dedup_groups_lsh(emb, **LSH_KW)
+    ga = groups.select(F.col("vec_id").alias("id_a"), F.col("group_id").alias("ga"))
+    gb = groups.select(F.col("vec_id").alias("id_b"), F.col("group_id").alias("gb"))
+    joined = exact_pairs.join(ga, "id_a").join(gb, "id_b")
+    total = joined.count()
+    hit = joined.where(F.col("ga") == F.col("gb")).count()
+    assert total >= 20, f"fixture planted too few ground-truth pairs: {total}"
+    assert hit / total >= 0.9, f"recall {hit}/{total} = {hit/total:.3f}"
+
+
+def test_lsh_pairs_are_true_positives(emb):
+    """Precision 1.0 by construction (candidates are exact-verified) —
+    checked against label-free brute force: every emitted pair's cosine
+    really is >= threshold, with the same rounding."""
+    got = V.neardup_pairs_lsh(emb, **LSH_KW)
+    bad = got.where(F.col("cos_sim") < THRESHOLD).count()
+    assert bad == 0
+    # spot-check one pair's cosine against a driver-side recompute
+    row = got.orderBy("id_a", "id_b").first()
+    if row is not None:
+        import numpy as np
+
+        va = np.array(
+            emb.where(F.col("vec_id") == row["id_a"]).first()["embedding"],
+            dtype=np.float64,
+        )
+        vb = np.array(
+            emb.where(F.col("vec_id") == row["id_b"]).first()["embedding"],
+            dtype=np.float64,
+        )
+        cs = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert abs(round(cs, 5) - row["cos_sim"]) < 1e-4
+
+
+def test_groups_cover_universe_with_component_min(emb):
+    """One row per vector; group_id is the component minimum (so keepers
+    are deterministic); singletons group to themselves."""
+    groups = V.embedding_dedup_groups_lsh(emb, **LSH_KW).persist()
+    try:
+        n = emb.count()
+        assert groups.count() == n
+        assert groups.select("vec_id").distinct().count() == n
+        # component-min: the group id is a member of its own group and is
+        # the minimum vec_id in it
+        agg = groups.groupBy("group_id").agg(F.min("vec_id").alias("mn"))
+        assert agg.where(F.col("group_id") != F.col("mn")).count() == 0
+    finally:
+        groups.unpersist()
