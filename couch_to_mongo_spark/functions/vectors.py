@@ -457,6 +457,13 @@ def kmeans_train(
         base.unpersist()
 
 
+# above this centroid count, ivf_assign switches from inlined expression
+# literals to a broadcast-join plan: k codegen'd distance subexpressions
+# are fine for k <= ~10^2, but real IVF wants 10^4-10^5 lists and the
+# expression tree (and codegen method size) grows linearly with k
+IVF_JOIN_THRESHOLD = 64
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 8,
@@ -464,18 +471,37 @@ def ivf_assign(
     id_col: str = "vec_id",
     round_to: int = 5,
     centroids: list[tuple[int, list[float]]] | None = None,
+    join_threshold: int = IVF_JOIN_THRESHOLD,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid.
 
     ``centroids`` (from :func:`kmeans_train`) supplies a trained quantizer;
     default centroids are the `n_centroids` lowest-id vectors —
     deterministic, so the assignment is an exact DuckDB oracle (k-means
-    refinement moves the centroids but not the plan shape). Plan either
-    way: broadcast the centroid array (tiny literals), one codegen'd pass
-    computing `n_centroids` distances per row, `array_position` of the min
-    — no shuffle at all. At 100 TB the assignment is the partition key:
-    each IVF list is a bucket, queries probe `nprobe` lists instead of
-    scanning the table.
+    refinement moves the centroids but not the plan shape).
+
+    Two physical plans, selected by ``join_threshold`` (crossover measured
+    and documented in tests/test_ivf_trained.py):
+
+    - **k <= join_threshold — literal plan**: the centroid array is inlined
+      as expression literals; one codegen'd pass computes k distances per
+      row, ``array_position`` of the min — no shuffle at all. Cheapest
+      while the expression tree stays small.
+    - **k > join_threshold — broadcast-join plan**: centroids become a
+      (pos, cid, cvec) DataFrame, broadcast; each row meets each centroid
+      in a broadcast nested-loop join and the winner is taken by
+      ``min(struct(dist, pos, cid))`` under a ``groupBy(id)`` whose
+      map-side partial aggregation collapses the k copies per row BEFORE
+      any exchange — shuffle stays O(rows), compute O(rows*k*dim), and no
+      expression grows with k, so 10^4-10^5 lists are plannable.
+
+    The two plans are BIT-IDENTICAL: distances round to ``round_to``
+    before the argmin in both, and ties break to the lowest list position
+    (``array_position`` takes the first minimum; the struct-min compares
+    (dist, pos)). Parity is test-asserted at k=8.
+
+    At 100 TB the assignment is the partition key: each IVF list is a
+    bucket, queries probe `nprobe` lists instead of scanning the table.
 
     Output: (id, centroid_id, dist) where dist is the L2 distance to the
     assigned centroid (rounded for cross-engine parity).
@@ -484,6 +510,34 @@ def ivf_assign(
         df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
     v = F.col(vec_col).cast("array<double>")
+    if len(cents) > join_threshold:
+        spark = df.sparkSession
+        cdf = spark.createDataFrame(
+            [(pos, int(c[0]), [float(x) for x in c[1]]) for pos, c in enumerate(cents)],
+            "_pos int, _cid bigint, _cvec array<double>",
+        )
+        d = F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(v, F.col("_cvec"), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            round_to,
+        )
+        scored = df.crossJoin(F.broadcast(cdf)).select(
+            F.col(id_col),
+            F.struct(
+                d.alias("d"), F.col("_pos").alias("p"), F.col("_cid").alias("c")
+            ).alias("_w"),
+        )
+        w = scored.groupBy(id_col).agg(F.min("_w").alias("_w"))
+        return w.select(
+            F.col(id_col),
+            F.col("_w.c").alias("centroid_id"),
+            F.col("_w.d").alias("dist"),
+        )
     dists = [
         F.round(
             F.sqrt(
@@ -675,7 +729,13 @@ def pq_encode(
 
     Distances are rounded to ``round_to`` before the argmin so the
     assignment is exactly reproducible cross-engine (the DuckDB oracle
-    ranks by the same rounded distance)."""
+    ranks by the same rounded distance).
+
+    Expression-size note: the inlined codebook costs dim*ksub product
+    terms total (m codebooks x ksub centroids x dim/m dims) — bounded by
+    ksub<=256, i.e. ~16k terms at dim=64, still codegen-safe; PQ never
+    needs the 10^4+ fan-out that forces ivf_assign's broadcast-join path
+    (that is what the IVF coarse level is for)."""
     m = len(codebooks)
     d = len(codebooks[0][0][1])
     v = F.col(vec_col).cast("array<double>")

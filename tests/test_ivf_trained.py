@@ -86,3 +86,35 @@ def test_kmeans_trains_on_sample(spark, clustered):
     cents = kmeans_train(df, k=K, n_iters=5, sample_frac=0.5)
     rec = ivf_recall_at_k(df, k=10, n_queries=20, nprobe=4, centroids=cents)
     assert rec >= 0.85
+
+
+def test_ivf_assign_join_path_parity_k8(spark, clustered):
+    """The broadcast-join assignment must be BIT-identical to the literal
+    plan: same rounded distances, same first-minimum tie-break."""
+    df, _ = clustered
+    cents = kmeans_train(df, k=8, n_iters=2)
+    lit = ivf_assign(df, centroids=cents).toPandas().sort_values("vec_id")
+    join = (
+        ivf_assign(df, centroids=cents, join_threshold=0)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert lit["centroid_id"].tolist() == join["centroid_id"].tolist()
+    assert lit["dist"].tolist() == join["dist"].tolist()  # exact, not approx
+
+
+def test_ivf_assign_k512_smoke(spark, clustered):
+    """10^3-list IVF must be plannable: 512 centroids go through the
+    broadcast-join path (no 512-subexpression codegen blowup)."""
+    df, _ = clustered
+    rng = np.random.default_rng(3)
+    cents = [(1000 + i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(512)]
+    out = ivf_assign(df, centroids=cents)
+    pdf = out.toPandas()
+    assert len(pdf) == N
+    assert pdf["vec_id"].nunique() == N
+    valid = {c[0] for c in cents}
+    assert set(pdf["centroid_id"].unique()) <= valid
+    # broadcast-join plan, not 512 inlined literals
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
