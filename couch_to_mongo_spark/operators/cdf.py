@@ -82,7 +82,7 @@ class ChangeFeedLog:
 
                 fields = [
                     f
-                    for f in table.snapshot().schema.fields
+                    for f in table.snapshot(materialize=False).schema.fields
                     if f.name != DELETED_COL
                 ] + [
                     T.StructField(CHANGE_TYPE_COL, T.StringType(), True),
@@ -104,7 +104,7 @@ class ChangeFeedLog:
             return df
         if table is None:
             raise ValueError("committed_only read requires the table (fence map)")
-        fences = table.snapshot().fences  # {run_id: [max_batch, snapshot_id]}
+        fences = table.snapshot(materialize=False).fences  # {run_id: [max_batch, snapshot_id]}
         if not fences:
             return df.limit(0)
         cond = None
@@ -121,7 +121,7 @@ class ChangeFeedLog:
         run with no fence entry are kept (they are either orphans worth
         inspecting or a run whose first commit is in flight). Returns the
         removed directories."""
-        return _expire_impl(self.root, table.snapshot().fences, keep_batches)
+        return _expire_impl(self.root, table.snapshot(materialize=False).fences, keep_batches)
 
 
 def _expire_impl(root: str, fences: dict, keep_batches: int) -> list[str]:

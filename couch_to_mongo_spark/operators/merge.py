@@ -133,7 +133,10 @@ def merge_batch(
     if table.is_batch_committed(run_id, batch_id):
         return MergeResult(skipped=True)
 
-    snap = table.snapshot()
+    # metadata-only load: merge needs version/schema/n_buckets here;
+    # read_buckets resolves just the touched buckets' manifests, so a cold
+    # driver's per-batch manifest I/O is O(touched), not O(n_buckets)
+    snap = table.snapshot(materialize=False)
     n_buckets = snap.n_buckets
     key_cols = list(key_cols)
 

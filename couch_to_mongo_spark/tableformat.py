@@ -154,9 +154,21 @@ class CommitConflict(Exception):
 
 # Manifests are immutable once published (uuid-named, never rewritten), so a
 # process-wide cache never goes stale; a long-lived driver reads each bucket
-# manifest at most once. Bounded to keep a many-table driver from hoarding.
+# manifest at most once. Bounded (LRU: overflow evicts the least-recently-
+# used entry, not the whole cache) to keep a many-table driver from hoarding.
 _MANIFEST_CACHE: dict[str, tuple[list[str], dict[str, list]]] = {}
 _MANIFEST_CACHE_MAX = 65536
+# above this many buckets, a cold materialized snapshot load reads the
+# per-bucket manifests through a thread pool instead of a serial loop
+_MANIFEST_PARALLEL_THRESHOLD = 64
+
+
+def _cache_put(p: str, entry: tuple[list[str], dict[str, list]]) -> None:
+    if p in _MANIFEST_CACHE:
+        del _MANIFEST_CACHE[p]  # refresh recency (dict preserves insertion order)
+    elif len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[p] = entry
 
 
 class LakeTable:
@@ -238,7 +250,17 @@ class LakeTable:
             v += 1
         return v
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def snapshot(
+        self, version: int | None = None, materialize: bool = True
+    ) -> Snapshot:
+        """Load a snapshot. ``materialize=False`` skips resolving the
+        per-bucket manifests into ``files``/``file_stats`` — right for
+        metadata-only consumers (fences, schema, n_buckets) and for
+        bucket-pruned reads that resolve their own buckets: a cold driver
+        on a 10^5-bucket table must not pay 10^5 manifest opens to check a
+        fence. A materialized load above ``_MANIFEST_PARALLEL_THRESHOLD``
+        buckets fans the manifest reads out to a thread pool (cold-cache
+        path only; warm loads are dict lookups)."""
         if version is None:
             version = self.latest_version()
             if version is None:
@@ -253,11 +275,20 @@ class LakeTable:
                 "(expired beyond retention, or never committed)"
             ) from None
         snap = Snapshot.from_json(d)
-        if snap.manifests and not snap.files:
+        if materialize and snap.manifests and not snap.files:
+            items = list(snap.manifests.items())
+            if len(items) > _MANIFEST_PARALLEL_THRESHOLD:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=32) as pool:
+                    loaded = list(
+                        pool.map(lambda kv: self._read_manifest(kv[1]), items)
+                    )
+            else:
+                loaded = [self._read_manifest(name) for _, name in items]
             files: dict[str, list[str]] = {}
             stats: dict[str, list] = {}
-            for b, name in snap.manifests.items():
-                fl, st = self._read_manifest(name)
+            for (b, _), (fl, st) in zip(items, loaded):
                 files[b] = fl
                 stats.update(st)
             snap.files = files
@@ -275,13 +306,12 @@ class LakeTable:
         p = os.path.join(self.manifest_dir, name)
         hit = _MANIFEST_CACHE.get(p)
         if hit is not None:
+            _cache_put(p, hit)  # LRU touch
             return hit
         with open(p) as fh:
             d = json.load(fh)
         entry = (d["files"], d.get("file_stats", {}))
-        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
-            _MANIFEST_CACHE.clear()
-        _MANIFEST_CACHE[p] = entry
+        _cache_put(p, entry)
         return entry
 
     def _write_manifest(
@@ -299,9 +329,7 @@ class LakeTable:
             json.dump({"bucket": bucket, "files": files, "file_stats": file_stats}, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
-            _MANIFEST_CACHE.clear()
-        _MANIFEST_CACHE[p] = (files, file_stats)
+        _cache_put(p, (files, file_stats))
         return name
 
     def _write_snapshot(self, snap: Snapshot) -> None:
@@ -346,14 +374,14 @@ class LakeTable:
         """
         if not self.exists():
             return False
-        fence = self.snapshot().fences.get(run_id)
+        fence = self.snapshot(materialize=False).fences.get(run_id)
         return fence is not None and batch_id <= fence[0]
 
     def fence_snapshot_id(self, run_id: str, batch_id: int) -> int | None:
         """Snapshot id that committed (run_id, batch_id), if it is the run's
         high-water batch — used to backfill a lineage row lost to a crash
         between snapshot commit and lineage append."""
-        fence = self.snapshot().fences.get(run_id)
+        fence = self.snapshot(materialize=False).fences.get(run_id)
         if fence is not None and batch_id == fence[0]:
             return fence[1]
         return None
@@ -480,12 +508,23 @@ class LakeTable:
         )
 
     def read_buckets(self, buckets: list[int], version: int | None = None) -> DataFrame:
-        """Read only the given buckets — the partition-pruned side of MERGE."""
-        snap = self.snapshot(version)
+        """Read only the given buckets — the partition-pruned side of MERGE.
+        Metadata I/O is O(requested buckets): only the asked-for buckets'
+        manifests are opened (a cold driver merging a 3-bucket batch into a
+        10^5-bucket table opens 3 manifests, not 10^5)."""
+        snap = self.snapshot(version, materialize=False)
+        if snap.manifests and not snap.files:
+            per_bucket = {
+                str(b): self._read_manifest(snap.manifests[str(b)])[0]
+                for b in buckets
+                if str(b) in snap.manifests
+            }
+        else:
+            per_bucket = snap.files
         files = [
             os.path.join(self.path, f)
             for b in buckets
-            for f in snap.files.get(str(b), [])
+            for f in per_bucket.get(str(b), [])
         ]
         if not files:
             return self.spark.createDataFrame([], snap.schema)

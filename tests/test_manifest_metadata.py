@@ -178,3 +178,68 @@ def test_v1_inline_snapshot_migrates_on_commit(table):
     new = _append_one(table, 1)
     assert set(new.manifests) == set(new.files)
     assert len(table.snapshot().all_files()) == 2
+
+
+def test_cold_read_buckets_opens_only_requested_manifests(table, monkeypatch):
+    """A cold process doing a bucket-pruned read must open O(requested)
+    manifests, not O(n_buckets) — at 10^5 buckets the difference is the
+    whole commit-path latency."""
+    import couch_to_mongo_spark.tableformat as TF
+
+    for i in range(N_BUCKETS):
+        _append_one(table, i)
+
+    TF._MANIFEST_CACHE.clear()  # simulate a cold process
+    opened = []
+    real = LakeTable._read_manifest
+
+    def counting(self, name):
+        opened.append(name)
+        return real(self, name)
+
+    monkeypatch.setattr(LakeTable, "_read_manifest", counting)
+    try:
+        # fixture files are fake paths, so the Spark scan itself fails —
+        # the assertion is about METADATA I/O, which happens first
+        table.read_buckets([3, 7])
+    except Exception:
+        pass
+    assert len(opened) == 2
+
+    # fence checks must open zero manifests
+    opened.clear()
+    TF._MANIFEST_CACHE.clear()
+    assert table.is_batch_committed("r", 0)
+    assert not table.is_batch_committed("other", 0)
+    assert opened == []
+
+    # a materialized snapshot still resolves everything
+    opened.clear()
+    TF._MANIFEST_CACHE.clear()
+    snap = table.snapshot()
+    assert len(snap.all_files()) == N_BUCKETS
+    assert len(opened) == N_BUCKETS
+
+
+def test_manifest_cache_lru_keeps_hot_entry(table, monkeypatch):
+    """Overflow evicts the least-recently-used entry, not the whole cache:
+    a hot entry re-touched before the overflow survives."""
+    import couch_to_mongo_spark.tableformat as TF
+
+    for i in range(8):
+        _append_one(table, i)
+    snap = table.snapshot(materialize=False)
+    names = [snap.manifests[str(b)] for b in range(8)]
+
+    TF._MANIFEST_CACHE.clear()
+    monkeypatch.setattr(TF, "_MANIFEST_CACHE_MAX", 4)
+    hot = names[0]
+    table._read_manifest(hot)
+    for n in names[1:3]:
+        table._read_manifest(n)
+    table._read_manifest(hot)  # touch: hot becomes most-recent
+    for n in names[3:6]:  # overflow: evicts LRU entries, never the hot one
+        table._read_manifest(n)
+    hot_path = os.path.join(table.manifest_dir, hot)
+    assert hot_path in TF._MANIFEST_CACHE
+    assert len(TF._MANIFEST_CACHE) <= 4
