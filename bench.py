@@ -256,6 +256,10 @@ def main():
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cdc-events", type=int, default=500_000)
     ap.add_argument("--cdc-files", type=int, default=8)
+    ap.add_argument("--cdc-events-sf1", type=int, default=5_000_000)
+    ap.add_argument("--cdc-files-sf1", type=int, default=16)
+    ap.add_argument("--no-cdc-sf1", action="store_true",
+                    help="skip the 10x-event replay headline")
     ap.add_argument("--mfpt", type=int, default=4, help="maxFilesPerTrigger")
     ap.add_argument("--n-buckets", type=int, default=32)
     # 3 replay passes (min reported): this host's random multi-second
@@ -311,6 +315,24 @@ def main():
     result["value"] = min(walls)
     result["walls_all_passes"] = walls
     result["events_per_sec"] = round(eps, 1)
+
+    if not args.no_cdc_sf1:
+        # sf1-scale replay headline (10x events): the 500k replay is ~2.3 s
+        # — mostly fixed overhead — so the 5M replay carries the real
+        # round-over-round throughput signal
+        with tempfile.TemporaryDirectory(
+            prefix="c2m_bench_sf1_", dir=_workdir_base()
+        ) as base:
+            walls1, eps1 = run_cdc_bench(
+                spark, args.cdc_events_sf1, args.cdc_files_sf1, args.n_buckets,
+                base, passes=2, mfpt=args.mfpt,
+            )
+        result["cdc_sf1"] = {
+            "events": args.cdc_events_sf1,
+            "walls_sec": walls1,
+            "wall_sec": min(walls1),
+            "events_per_sec": round(eps1, 1),
+        }
 
     if not args.no_queries:
         result["queries"] = run_query_bench(spark, args.sf_dir)

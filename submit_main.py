@@ -75,6 +75,9 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("state", help="table probe: snapshot + live row count")
     p.add_argument("--table", required=True)
+    p.add_argument("--buckets", action="store_true",
+                   help="add per-bucket file counts + manifest bytes "
+                        "(compaction-debt view; metadata-only, no scan)")
 
     p = sub.add_parser(
         "rescale", help="re-key the table to a new bucket count (atomic)"
@@ -236,17 +239,34 @@ def main(argv: list[str] | None = None) -> int:
 
         table = LakeTable(spark, args.table)
         snap = table.snapshot()
-        print(
-            json.dumps(
-                {
-                    "snapshot_id": snap.snapshot_id,
-                    "version": snap.version,
-                    "n_files": len(snap.all_files()),
-                    "live_rows": read_state(table).count(),
-                    "fenced_runs": {r: v[0] for r, v in snap.fences.items()},
-                }
+        out = {
+            "snapshot_id": snap.snapshot_id,
+            "version": snap.version,
+            "n_files": len(snap.all_files()),
+            "live_rows": read_state(table).count(),
+            "fenced_runs": {r: v[0] for r, v in snap.fences.items()},
+        }
+        if args.buckets:
+            # write-side observability: per-bucket file counts (compaction
+            # debt — MOR deltas pile up here) + manifest bytes (metadata
+            # growth), straight from the snapshot, no data scan
+            import os
+
+            per_bucket = {b: len(fl) for b, fl in sorted(
+                snap.files.items(), key=lambda kv: int(kv[0])
+            )}
+            manifest_bytes = sum(
+                os.path.getsize(os.path.join(table.manifest_dir, name))
+                for name in snap.manifests.values()
             )
-        )
+            counts = list(per_bucket.values()) or [0]
+            out["buckets"] = {
+                "files_per_bucket": per_bucket,
+                "max_files_in_bucket": max(counts),
+                "manifest_bytes": manifest_bytes,
+                "n_manifests": len(snap.manifests),
+            }
+        print(json.dumps(out))
     return 0
 
 

@@ -36,3 +36,10 @@ def test_rescale_and_changes_cli(spark, tmp_path, capsys):
     submit_main.main(["state", "--table", pipe.table_path])
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["live_rows"] > 0
+
+    submit_main.main(["state", "--table", pipe.table_path, "--buckets"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    b = st["buckets"]
+    assert sum(b["files_per_bucket"].values()) == st["n_files"]
+    assert b["max_files_in_bucket"] >= 1
+    assert b["manifest_bytes"] > 0 and b["n_manifests"] >= 1

@@ -334,3 +334,36 @@ def test_bootstrap_salt_splits_files_per_bucket(spark, tmp_table_path):
     assert len(files_per_bucket) == 16
     assert all(n > 1 for n in files_per_bucket), files_per_bucket
     assert result.rows_applied == 4000
+
+
+def test_footer_stats_parallel_path_matches_serial(spark, tmp_table_path):
+    """Above the threshold the footer pass fans out to a thread pool (the
+    whole-table-write path: bootstrap/rescale at 10^4+ files must not pay
+    serial driver opens); results must be identical to the serial loop."""
+    from pyspark.sql import functions as F
+
+    import couch_to_mongo_spark.operators.merge as M
+    from couch_to_mongo_spark.bootstrap import bulk_bootstrap
+
+    src = spark.range(3000).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        (F.col("id") % 3).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("t").alias("text"),
+    )
+    table, _ = bulk_bootstrap(
+        spark, tmp_table_path, src, n_buckets=16, files_per_bucket=4,
+        normalize=False,
+    )
+    new_files = table.snapshot().files
+    n_files = sum(len(v) for v in new_files.values())
+    assert n_files > M._FOOTER_PARALLEL_THRESHOLD  # 64 files: pool path
+    par = M._footer_seq_stats(table, new_files)
+    old = M._FOOTER_PARALLEL_THRESHOLD
+    try:
+        M._FOOTER_PARALLEL_THRESHOLD = 10**9  # force serial
+        ser = M._footer_seq_stats(table, new_files)
+    finally:
+        M._FOOTER_PARALLEL_THRESHOLD = old
+    assert par == ser
+    assert par[0] == 3000
