@@ -406,6 +406,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     sample_frac: float | None = None,
     round_to: int = 6,
+    join_threshold: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd k-means over the embedding column, as DataFrame
     ops — the centroid refinement `ivf_assign` consumes.
@@ -429,6 +430,15 @@ def kmeans_train(
     Returns [(centroid_id, vector)] with centroid_id = init vector's id,
     kept stable across iterations (empty clusters keep their previous
     position).
+
+    Large k (> ``join_threshold``, default the ivf_assign crossover): each
+    iteration's assignment runs as the broadcast-join plan instead of k
+    inlined distance subexpressions — per-row winner via map-side
+    ``min(struct(dist, pos))`` under ``groupBy(id)``, then the per-cluster
+    means as a second aggregation. Two shuffles per iteration instead of
+    one, but no expression grows with k, so 10^4-list coarse quantizers
+    are trainable. Assignment semantics identical to the literal plan
+    (unrounded distances, first-minimum tie-break; parity-tested at k=8).
     """
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     if sample_frac is not None:
@@ -443,10 +453,40 @@ def kmeans_train(
             F.avg(F.element_at(F.col("_v"), i + 1)).alias(f"m{i}")
             for i in range(dim)
         ]
+        spark = df.sparkSession
+        if join_threshold is None:
+            join_threshold = IVF_JOIN_THRESHOLD
+        use_join = k > join_threshold
         for _ in range(n_iters):
-            darr = F.array(*[_l2sq(F.col("_v"), c) for c in cents])
-            best = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-            rows = base.groupBy(best.alias("_c")).agg(*mean_aggs).collect()
+            if use_join:
+                cdf = spark.createDataFrame(
+                    [(pos, c) for pos, c in enumerate(cents)],
+                    "_pos int, _cvec array<double>",
+                )
+                d = F.aggregate(
+                    F.zip_with(
+                        F.col("_v"), F.col("_cvec"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+                assigned = (
+                    base.crossJoin(F.broadcast(cdf))
+                    .select(
+                        F.col(id_col),
+                        F.col("_v"),
+                        F.struct(d.alias("d"), F.col("_pos").alias("p")).alias("_w"),
+                    )
+                    .groupBy(id_col)
+                    .agg(F.min("_w").alias("_w"), F.first("_v").alias("_v"))
+                )
+                rows = assigned.groupBy(
+                    F.col("_w.p").alias("_c")
+                ).agg(*mean_aggs).collect()
+            else:
+                darr = F.array(*[_l2sq(F.col("_v"), c) for c in cents])
+                best = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+                rows = base.groupBy(best.alias("_c")).agg(*mean_aggs).collect()
             new = [list(c) for c in cents]
             for r in rows:
                 ci = int(r["_c"])

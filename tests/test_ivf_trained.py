@@ -118,3 +118,25 @@ def test_ivf_assign_k512_smoke(spark, clustered):
     # broadcast-join plan, not 512 inlined literals
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmeans_join_path_parity_k8(spark, clustered):
+    """Large-k training (broadcast-join assignment per Lloyd iteration)
+    must produce the same centroids as the literal plan at k=8 —
+    identical assignment semantics, means equal up to aggregation-order
+    noise below the 6dp rounding grain."""
+    df, _ = clustered
+    lit = kmeans_train(df, k=8, n_iters=3)
+    join = kmeans_train(df, k=8, n_iters=3, join_threshold=0)
+    assert [i for i, _ in lit] == [i for i, _ in join]
+    for (_, va), (_, vb) in zip(lit, join):
+        assert np.allclose(va, vb, atol=2e-6)
+
+
+def test_kmeans_k256_smoke(spark, clustered):
+    """10^2-10^4-list coarse quantizers must be TRAINABLE, not just
+    assignable: k=256 runs through the join path end to end."""
+    df, _ = clustered
+    cents = kmeans_train(df, k=256, n_iters=1)
+    assert len(cents) == 256
+    assert all(len(v) == DIM for _, v in cents)
