@@ -841,8 +841,31 @@ FROM f
 """
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The curation pipeline composed end to end (functions/text.py
+    curate_corpus): quality + repetition features + exact-dedup keeper
+    election joined per document with the final keep verdict — the
+    one-query form of a pretraining data-prep pass."""
+    return X.curate_corpus(_t(spark, sf_dir, "documents"))
+
+
 def q_token_counts(spark, sf_dir):
     return X.token_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_CURATE = f"""
+WITH q AS ({SQL_QUALITY}),
+rep AS ({SQL_REPETITION}),
+fp AS (SELECT doc_id, md5({_NORM('text')}) AS fp FROM documents),
+k AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1),
+d AS (SELECT fp.doc_id, fp.doc_id = k.keeper AS is_exact_keeper
+      FROM fp JOIN k USING (fp))
+SELECT q.doc_id, q.n_tokens, q.quality_score, rep.dup_3gram_frac,
+       d.is_exact_keeper,
+       (d.is_exact_keeper AND q.n_tokens BETWEEN 15 AND 10000
+        AND q.punct_ratio <= 0.3 AND rep.dup_3gram_frac <= 0.5) AS keep
+FROM q JOIN rep ON q.doc_id = rep.doc_id JOIN d ON q.doc_id = d.doc_id
+"""
 
 
 SQL_TOKENS = """
@@ -1282,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "repetition_features": q_repetition,
         "token_counts": q_token_counts,
+        "curate_corpus": q_curate_corpus,
         "cosine_topk": q_cosine_topk,
         "neardup_cosine": q_neardup_cosine,
         "embedding_dedup_groups": q_embedding_dedup_groups,
@@ -1330,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": SQL_QUALITY,
         "repetition_features": SQL_REPETITION,
         "token_counts": SQL_TOKENS,
+        "curate_corpus": SQL_CURATE,
         "cosine_topk": SQL_COSINE_TOPK,
         "neardup_cosine": SQL_NEARDUP,
         "embedding_dedup_groups": SQL_EMB_DEDUP_GROUPS,

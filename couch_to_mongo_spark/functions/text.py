@@ -441,6 +441,56 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 15,
+    max_tokens: int = 10_000,
+    max_punct_ratio: float = 0.3,
+    max_dup_3gram: float = 0.5,
+) -> DataFrame:
+    """The training-data curation pipeline composed end to end as ONE
+    declarative plan — the query a 100 TB pretraining run actually issues:
+    Gopher/C4-style quality + repetition features and exact-dedup keeper
+    election, joined per document with a final ``keep`` verdict.
+
+    keep = exact-dedup keeper (min id of the fingerprint group)
+         AND min_tokens <= n_tokens <= max_tokens
+         AND punct_ratio <= max_punct_ratio
+         AND dup_3gram_frac <= max_dup_3gram
+
+    Plan shape: three independent derivations of the documents scan
+    (features, repetition, fingerprint+keeper) joined on the id — each is
+    its own shuffle-free (features) or single-shuffle (keeper groupBy)
+    branch, and Catalyst plans the id joins as one exchange each; at scale
+    the near-dup group id from ``lsh_dedup_groups`` slots in as a fourth
+    branch the same way. Output: (id, n_tokens, quality_score,
+    dup_3gram_frac, is_exact_keeper, keep)."""
+    q = quality_features(df, text_col, id_col)
+    r = repetition_features(df, text_col, id_col)
+    fps = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+    keepers = fps.groupBy("_fp").agg(F.min(id_col).alias("_keeper"))
+    d = fps.join(keepers, "_fp").select(
+        F.col(id_col), (F.col(id_col) == F.col("_keeper")).alias("is_exact_keeper")
+    )
+    out = q.join(r, id_col).join(d, id_col)
+    keep = (
+        F.col("is_exact_keeper")
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("dup_3gram_frac") <= max_dup_3gram)
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("quality_score"),
+        F.col("dup_3gram_frac"),
+        F.col("is_exact_keeper"),
+        keep.alias("keep"),
+    )
+
+
 LANG_MARKERS = {
     "en": ("the", "and", "of"),
     "de": ("der", "und", "die"),
