@@ -2,3 +2,24 @@ from couch_to_mongo_spark.functions.normalize import (  # noqa: F401
     normalize_text,
     normalize_text_py,
 )
+from couch_to_mongo_spark.functions.text import (  # noqa: F401
+    curate_corpus,
+    dedup_groups,
+    exact_dedup,
+    lsh_dedup_groups,
+    ngram_jaccard_pairs,
+    quality_features,
+    repetition_features,
+    simhash_pairs,
+    token_counts,
+)
+from couch_to_mongo_spark.functions.vectors import (  # noqa: F401
+    cosine_topk,
+    embedding_dedup_groups_lsh,
+    ivf_assign,
+    ivf_pq_topk,
+    kmeans_train,
+    neardup_pairs_lsh,
+    pq_encode,
+    pq_train,
+)

@@ -135,3 +135,38 @@ def test_fast_merge_single_shuffle(spark):
         plan = formatted_plan(out)
         assert count_exchanges(out) == 1, plan
         assert "WindowGroupLimit" in plan, plan
+
+
+def test_emb_lsh_pairs_no_cartesian_and_local_expansion(spark):
+    """The label-free embedding candidate stage must be bucket-collision
+    bound: no CartesianProduct anywhere, pair expansion local (Generate
+    over posting lists, not a self-join of the corpus)."""
+    from couch_to_mongo_spark.functions import vectors as V
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    df = V.neardup_pairs_lsh(emb, threshold=0.3)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan  # local posting-list pair expansion
+
+
+def test_curate_corpus_no_cartesian_single_scan_branches(spark):
+    """The composed curation pipeline: id equi-joins only (no cartesian),
+    and the dedup-keeper branch is a partial/final hash aggregation."""
+    df = E.q_curate_corpus(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert count_partial_final_aggs(df) >= 2  # keeper groupBy map-side combine
+
+
+def test_ivf_assign_large_k_is_broadcast_join(spark):
+    """k>threshold must plan as broadcast join + partial-agg argmin, not a
+    k-wide expression (codegen blowup) and not a shuffle of k copies."""
+    from couch_to_mongo_spark.functions import vectors as V
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    cents = [(i, [float(i), 0.0] + [0.0] * 62) for i in range(100)]
+    df = V.ivf_assign(emb, centroids=cents)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert count_partial_final_aggs(df) >= 2, plan  # map-side min before exchange
