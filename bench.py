@@ -143,10 +143,12 @@ SF1_HEADLINE = [
     # vector family at 10x (r4: sf1 embeddings are now generated fresh —
     # 10x count, clustered, planted near-dups — instead of copied from
     # sf0.1, so these times are NOT comparable to rounds <= 3)
-    "neardup_cosine", "embedding_dedup_groups", "embedding_dedup_groups_lsh",
-    "ivf_train_assign",
+    "neardup_cosine", "neardup_cosine_blas", "embedding_dedup_groups",
+    "embedding_dedup_groups_lsh", "ivf_train_assign",
 ]
-SF1_SINGLE_PASS = {"neardup_cosine", "embedding_dedup_groups"}
+# the expression-join exact pair baseline costs ~2 min at sf1 (which is
+# the point — neardup_cosine_blas is the same pairs at ~1 s); one pass
+SF1_SINGLE_PASS = {"neardup_cosine"}
 
 
 def _sf1_overrides():
@@ -165,7 +167,34 @@ def _sf1_overrides():
             max_bucket_size=200,
         )
 
-    return {"embedding_dedup_groups_lsh": emb_lsh_sf1}
+    def neardup_blas_sf1(spark, sf_dir):
+        # same exact pairs as neardup_cosine (parity-tested), BLAS-blocked
+        # gram matrix instead of the per-pair HOF join — the measured
+        # contrast between the two formulations of the exact baseline
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return V.neardup_pairs_by_label_blas(emb, threshold=0.3)
+
+    def emb_groups_sf1(spark, sf_dir):
+        # exact groups with the BLAS pair stage (identical pairs,
+        # parity-tested); the expression-join form of the same closure
+        # measured 319 s at sf1 — the HOF-per-pair cost the BLAS kernel
+        # removes (0.8 s); remaining cost is the components fixpoint over
+        # the ~1.5M noise-tail edges the 0.3 threshold admits at 20k rows
+        from couch_to_mongo_spark.operators.components import (
+            attach_components,
+            connected_components,
+        )
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        pairs = V.neardup_pairs_by_label_blas(emb, threshold=0.3)
+        comp = connected_components(pairs, src="id_a", dst="id_b")
+        return attach_components(emb, comp, id_col="vec_id", out_col="group_id")
+
+    return {
+        "embedding_dedup_groups_lsh": emb_lsh_sf1,
+        "neardup_cosine_blas": neardup_blas_sf1,
+        "embedding_dedup_groups": emb_groups_sf1,
+    }
 
 
 def run_sf1_bench(spark, sf1_dir: str) -> dict:
@@ -178,10 +207,6 @@ def run_sf1_bench(spark, sf1_dir: str) -> dict:
     out = {}
     for name in SF1_HEADLINE:
         best = None
-        # single pass for the two exact-baseline vector queries: their
-        # honest all-pairs-within-label plan costs 2-4 min each at sf1
-        # (which is exactly the point — the LSH path is 12x cheaper);
-        # a second storm-rejection pass is not worth doubling that
         passes = 1 if name in SF1_SINGLE_PASS else 2
         for _ in range(passes):
             t0 = time.time()

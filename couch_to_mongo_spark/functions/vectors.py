@@ -91,6 +91,71 @@ def neardup_pairs_by_label(
     )
 
 
+def _make_blas_pair_kernel(
+    threshold: float, vec_col: str, id_col: str, label_col: str, round_to: int
+):
+    """Per-block kernel factory for :func:`neardup_pairs_by_label_blas`.
+    The returned closure is self-contained (cloudpickle ships it by value
+    with only numpy/pandas module references), so it runs on executors
+    regardless of PYTHONPATH."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        cos = (V @ V.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        cs = np.round(cos[ia, ib], round_to)
+        m = cs >= threshold
+        return pd.DataFrame(
+            {
+                "lbl": np.repeat(np.int64(pdf[label_col].iloc[0]), int(m.sum())),
+                "id_a": ids[ia[m]],
+                "id_b": ids[ib[m]],
+                "cos_sim": cs[m],
+            }
+        )
+
+    return kernel
+
+
+def neardup_pairs_by_label_blas(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_to: int = 5,
+) -> DataFrame:
+    """Blocked exact near-dup pairs, BLAS formulation: same output contract
+    as :func:`neardup_pairs_by_label`, but each block's pairs are scored by
+    a per-block gram matrix (``applyInPandas``, numpy ``V @ V.T``) instead
+    of a per-joined-row HOF dot product.
+
+    Why: higher-order functions evaluate interpretively, so the join form
+    pays ~microseconds per PAIR (measured 123 s for ~20M pairs at sf1);
+    here Arrow ships each block's vectors ONCE (O(n_block x dim) transfer,
+    not O(pairs x dim)) and the O(n_block^2 x dim) multiply runs at BLAS
+    speed. This is the sanctioned Pandas-UDF escape hatch: the semantics
+    are expressible in Column expressions (the join form remains the
+    oracle-shaped default), but within-block all-pairs scoring is exactly
+    the dense-kernel case Arrow batching exists for.
+
+    Parity: numpy's pairwise summation orders the dot differently than the
+    sequential zip_with fold; both land on the same value after the shared
+    ``round_to`` rounding (equality is test-asserted against the join form
+    on the driver fixtures). Block size must stay bounded (n_block^2
+    doubles per task — 2k rows = 32 MB); at 100 TB the block key is an LSH
+    bucket with a size cap, same as the relational path."""
+    kernel = _make_blas_pair_kernel(threshold, vec_col, id_col, label_col, round_to)
+    return df.groupBy(label_col).applyInPandas(
+        kernel, "lbl bigint, id_a bigint, id_b bigint, cos_sim double"
+    )
+
+
 def plane_component(i: int, j: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1].
 

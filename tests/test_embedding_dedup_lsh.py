@@ -91,3 +91,26 @@ def test_groups_cover_universe_with_component_min(emb):
         assert agg.where(F.col("group_id") != F.col("mn")).count() == 0
     finally:
         groups.unpersist()
+
+
+def test_blas_pairs_match_expression_pairs(spark, emb):
+    """The BLAS (applyInPandas gram-matrix) formulation must agree with the
+    Column-expression join form exactly after the shared 5dp rounding — on
+    both the clustered fixture and the driver's noise fixture."""
+    for df, thr in [
+        (emb, THRESHOLD),
+        (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"), 0.3),
+    ]:
+        expr = (
+            V.neardup_pairs_by_label(df, threshold=thr)
+            .select(F.col("lbl").cast("long"), "id_a", "id_b", "cos_sim")
+            .orderBy("id_a", "id_b")
+            .collect()
+        )
+        blas = (
+            V.neardup_pairs_by_label_blas(df, threshold=thr)
+            .orderBy("id_a", "id_b")
+            .collect()
+        )
+        assert [tuple(r) for r in expr] == [tuple(r) for r in blas]
+        assert len(expr) > 0
