@@ -17,6 +17,7 @@ from couch_to_mongo_spark.functions.vectors import (  # noqa: F401
     cosine_topk,
     embedding_dedup_groups_lsh,
     ivf_assign,
+    ivf_assign_blas,
     ivf_pq_topk,
     kmeans_train,
     neardup_pairs_lsh,

@@ -669,6 +669,54 @@ def ivf_assign(
     )
 
 
+def ivf_assign_blas(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 5,
+) -> DataFrame:
+    """BLAS formulation of :func:`ivf_assign` for DENSE large-k assignment:
+    per Arrow batch, distances come from one ``V @ C.T`` matrix multiply
+    (plus the norm expansion) instead of k per-row fold expressions or k
+    joined rows. Same contract and same winner as the other two plans
+    (rounded distance, first-minimum = lowest centroid position;
+    parity-tested at k=8 and k=512).
+
+    Crossover guidance: literal plan to ~64 centroids, broadcast-join to
+    ~10^3 (HOF fold per joined row, ~us each), BLAS beyond — at 10^4
+    lists the join plan pays 10^4 interpreted fold evaluations per row
+    while this kernel pays one GEMM per batch. Zero shuffle either way."""
+    import numpy as np
+
+    C = np.array([[float(x) for x in c[1]] for c in centroids], dtype=np.float64)
+    cids = np.array([int(c[0]) for c in centroids], dtype=np.int64)
+    cnorm2 = (C * C).sum(axis=1)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = np.maximum(
+                (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cnorm2[None, :],
+                0.0,
+            )
+            d = np.round(np.sqrt(d2), round_to)
+            best = d.argmin(axis=1)  # first occurrence = lowest position
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "centroid_id": cids[best],
+                    "dist": d[np.arange(len(best)), best],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} bigint, centroid_id bigint, dist double"
+    )
+
+
 def ivf_candidates(
     df: DataFrame,
     queries: DataFrame,

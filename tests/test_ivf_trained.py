@@ -140,3 +140,25 @@ def test_kmeans_k256_smoke(spark, clustered):
     cents = kmeans_train(df, k=256, n_iters=1)
     assert len(cents) == 256
     assert all(len(v) == DIM for _, v in cents)
+
+
+def test_ivf_assign_blas_parity(spark, clustered):
+    """The GEMM formulation must pick the same winners with the same
+    rounded distances as both relational plans — k=8 (vs literal) and
+    k=512 (vs broadcast-join)."""
+    from couch_to_mongo_spark.functions.vectors import ivf_assign_blas
+
+    df, _ = clustered
+    for k, kw in [(8, {}), (512, {})]:
+        if k == 8:
+            cents = kmeans_train(df, k=8, n_iters=2)
+        else:
+            rng = np.random.default_rng(4)
+            cents = [
+                (2000 + i, [float(x) for x in rng.standard_normal(DIM)])
+                for i in range(512)
+            ]
+        rel = ivf_assign(df, centroids=cents, **kw).toPandas().sort_values("vec_id")
+        blas = ivf_assign_blas(df, centroids=cents).toPandas().sort_values("vec_id")
+        assert rel["centroid_id"].tolist() == blas["centroid_id"].tolist()
+        assert rel["dist"].tolist() == blas["dist"].tolist()
