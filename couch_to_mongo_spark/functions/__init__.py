@@ -20,6 +20,7 @@ from couch_to_mongo_spark.functions.vectors import (  # noqa: F401
     ivf_assign_blas,
     ivf_pq_topk,
     kmeans_train,
+    kmeans_train_gemm,
     neardup_pairs_lsh,
     pq_encode,
     pq_train,

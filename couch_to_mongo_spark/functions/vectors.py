@@ -562,6 +562,88 @@ def kmeans_train(
         base.unpersist()
 
 
+def kmeans_train_gemm(
+    df: DataFrame,
+    k: int = 256,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_frac: float | None = None,
+    round_to: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd training for VERY large k (10^4-10^5 IVF lists), GEMM
+    formulation: each iteration is ONE ``mapInPandas`` pass — per Arrow
+    batch, assignment via ``V @ C.T`` (one matrix multiply, no per-row
+    fold expressions) and per-cluster partial (count, sum) accumulation in
+    numpy; the driver folds O(partitions x clusters-present) partial rows
+    into the new means. Zero shuffles per iteration; the network carries
+    k x dim partial sums, never the data.
+
+    Contract matches :func:`kmeans_train` (lowest-k-id init, per-iteration
+    ``round_to`` rounding, empty clusters keep their previous centroid);
+    parity with the relational paths is asserted on the clustered fixture
+    up to aggregation-order noise below the rounding grain. For the
+    handful-of-centroids regime, prefer :func:`kmeans_train` — its
+    assignment is the same codegen'd expression the oracle replays."""
+    import numpy as np
+
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    if sample_frac is not None:
+        base = base.sample(fraction=sample_frac, seed=11)
+    base = base.persist()
+    try:
+        init = base.orderBy(id_col).limit(k).collect()
+        ids = [int(r[0]) for r in init]
+        cents = np.array(
+            [[round(float(x), round_to) for x in r[1]] for r in init]
+        )
+        dim = cents.shape[1]
+
+        def make_gen(C):
+            cnorm2 = (C * C).sum(axis=1)
+
+            def gen(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                    d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cnorm2[None, :]
+                    best = d2.argmin(axis=1)
+                    present = np.unique(best)
+                    sums = np.zeros((len(present), C.shape[1]))
+                    counts = np.zeros(len(present), dtype=np.int64)
+                    for row_i, ci in enumerate(present):
+                        m = best == ci
+                        counts[row_i] = int(m.sum())
+                        sums[row_i] = V[m].sum(axis=0)
+                    yield pd.DataFrame(
+                        {
+                            "_c": present.astype(np.int32),
+                            "_n": counts,
+                            "_s": list(sums),
+                        }
+                    )
+
+            return gen
+
+        for _ in range(n_iters):
+            partials = base.mapInPandas(
+                make_gen(cents), "_c int, _n bigint, _s array<double>"
+            ).collect()
+            tot_n = np.zeros(k, dtype=np.int64)
+            tot_s = np.zeros((k, dim))
+            for r in partials:
+                tot_n[r["_c"]] += r["_n"]
+                tot_s[r["_c"]] += np.asarray(r["_s"])
+            new = cents.copy()
+            nz = tot_n > 0
+            new[nz] = np.round(tot_s[nz] / tot_n[nz, None], round_to)
+            cents = new
+        return [(i, [float(x) for x in c]) for i, c in zip(ids, cents)]
+    finally:
+        base.unpersist()
+
+
 # above this centroid count, ivf_assign switches from inlined expression
 # literals to a broadcast-join plan: k codegen'd distance subexpressions
 # are fine for k <= ~10^2, but real IVF wants 10^4-10^5 lists and the

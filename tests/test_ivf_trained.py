@@ -162,3 +162,28 @@ def test_ivf_assign_blas_parity(spark, clustered):
         blas = ivf_assign_blas(df, centroids=cents).toPandas().sort_values("vec_id")
         assert rel["centroid_id"].tolist() == blas["centroid_id"].tolist()
         assert rel["dist"].tolist() == blas["dist"].tolist()
+
+
+def test_kmeans_gemm_parity_and_large_k(spark, clustered):
+    """GEMM training must match the relational paths at k=12 on the
+    decisively-clustered fixture (assignments separated — no argmin
+    near-ties to flip under float reordering), and train k=512 end to end
+    with real cluster movement."""
+    from couch_to_mongo_spark.functions.vectors import kmeans_train_gemm
+
+    df, _ = clustered
+    rel = kmeans_train(df, k=K, n_iters=3)
+    gemm = kmeans_train_gemm(df, k=K, n_iters=3)
+    assert [i for i, _ in rel] == [i for i, _ in gemm]
+    for (_, va), (_, vb) in zip(rel, gemm):
+        assert np.allclose(va, vb, atol=2e-6)
+
+    big = kmeans_train_gemm(df, k=512, n_iters=2)
+    assert len(big) == 512
+    init = {i: v for i, v in zip([b[0] for b in big],
+                                 [r[1] for r in df.select("vec_id", "embedding")
+                                  .orderBy("vec_id").limit(512).collect()])}
+    moved = sum(
+        1 for i, v in big if not np.allclose(v, np.asarray(init[i], dtype=float), atol=1e-9)
+    )
+    assert moved > 100  # training actually refined most centroids
