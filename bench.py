@@ -214,6 +214,20 @@ def run_sf1_bench(spark, sf1_dir: str) -> dict:
             wall = time.time() - t0
             best = wall if best is None else min(best, wall)
         out[name] = round(best, 3)
+
+    # trained-IVF recall on the CLUSTERED 20k-vector tier — the quality
+    # number the structureless sf0.1 fixture cannot produce (no vector
+    # there has true near neighbors): sampled Lloyd training, nprobe=4
+    # of 32 lists => scan ~1/8 of the corpus
+    from couch_to_mongo_spark.functions import vectors as V
+
+    emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
+    cents = V.kmeans_train(emb, k=32, n_iters=3, sample_frac=0.25)
+    out["ivf_recall_at_10_k32_nprobe4"] = round(
+        V.ivf_recall_at_k(emb, k=10, n_queries=20, n_centroids=32, nprobe=4,
+                          centroids=cents),
+        3,
+    )
     return out
 
 
