@@ -297,6 +297,11 @@ def main():
     ap.add_argument("--cdc-files", type=int, default=8)
     ap.add_argument("--cdc-events-sf1", type=int, default=5_000_000)
     ap.add_argument("--cdc-files-sf1", type=int, default=16)
+    # catch-up replays want bigger micro-batches than the steady-state
+    # tail: mfpt=8 (2.5M-event batches) measured 528k ev/s vs 352k at
+    # mfpt=4 — fixed per-batch cost (plan + commit + footer pass)
+    # amortizes; a single 5M batch gains nothing further
+    ap.add_argument("--mfpt-sf1", type=int, default=8)
     ap.add_argument("--no-cdc-sf1", action="store_true",
                     help="skip the 10x-event replay headline")
     ap.add_argument("--mfpt", type=int, default=4, help="maxFilesPerTrigger")
@@ -364,7 +369,7 @@ def main():
         ) as base:
             walls1, eps1 = run_cdc_bench(
                 spark, args.cdc_events_sf1, args.cdc_files_sf1, args.n_buckets,
-                base, passes=2, mfpt=args.mfpt,
+                base, passes=2, mfpt=args.mfpt_sf1,
             )
         result["cdc_sf1"] = {
             "events": args.cdc_events_sf1,
