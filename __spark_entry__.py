@@ -841,6 +841,32 @@ FROM f
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (functions/text.py ngram_contamination):
+    corpus docs sharing >= 2 distinct 3-gram shingles with any doc of a
+    small 'benchmark' set (here the 10 lowest doc_ids) — the asymmetric
+    broadcast-containment operator, distinct from the self-join Jaccard
+    family."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 10)
+    corpus = docs.where(F.col("doc_id") >= 10)
+    return X.ngram_contamination(corpus, bench, n=3, min_common=2)
+
+
+SQL_DECONTAMINATE = f"""
+WITH docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
+csh AS (SELECT DISTINCT doc_id, {_H('s')} AS h
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM docs
+              WHERE doc_id >= 10)),
+bsh AS (SELECT DISTINCT doc_id AS bench_id, {_H('s')} AS h
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM docs
+              WHERE doc_id < 10))
+SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_common
+FROM csh c JOIN bsh b USING (h)
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def q_curate_corpus(spark, sf_dir):
     """The curation pipeline composed end to end (functions/text.py
     curate_corpus): quality + repetition features + exact-dedup keeper
@@ -1306,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": q_repetition,
         "token_counts": q_token_counts,
         "curate_corpus": q_curate_corpus,
+        "decontaminate": q_decontaminate,
         "cosine_topk": q_cosine_topk,
         "neardup_cosine": q_neardup_cosine,
         "embedding_dedup_groups": q_embedding_dedup_groups,
@@ -1355,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_features": SQL_REPETITION,
         "token_counts": SQL_TOKENS,
         "curate_corpus": SQL_CURATE,
+        "decontaminate": SQL_DECONTAMINATE,
         "cosine_topk": SQL_COSINE_TOPK,
         "neardup_cosine": SQL_NEARDUP,
         "embedding_dedup_groups": SQL_EMB_DEDUP_GROUPS,

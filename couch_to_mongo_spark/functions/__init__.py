@@ -7,6 +7,7 @@ from couch_to_mongo_spark.functions.text import (  # noqa: F401
     dedup_groups,
     exact_dedup,
     lsh_dedup_groups,
+    ngram_contamination,
     ngram_jaccard_pairs,
     quality_features,
     repetition_features,

@@ -441,6 +441,45 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_common: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark decontamination — the cross-set containment operator a
+    pretraining pipeline runs before every release: flag corpus documents
+    sharing >= ``min_common`` DISTINCT n-gram shingles with any benchmark
+    document (train-test overlap detection).
+
+    Asymmetric by design: the benchmark side is tiny (eval suites are
+    10^3-10^5 docs vs a 10^10-doc corpus), so its distinct hashed shingles
+    BROADCAST and the corpus side is one explode + broadcast-hash join +
+    count aggregation — the corpus shuffles only its matching (doc, bench)
+    shingle hits, never its text. Contrast with the self-join Jaccard
+    family (symmetric, inverted-index bound): containment against a fixed
+    small set never needs the O(df^2) index.
+
+    Output: (id, bench_id, n_common) for every contaminated pair —
+    downstream either drops the corpus doc or masks the overlapping span.
+    """
+    c = exploded_shingles(corpus, text_col, id_col, n).select(
+        F.col(id_col), hash15(F.col("_sh")).alias("_h")
+    ).distinct()
+    b = exploded_shingles(benchmark, text_col, id_col, n).select(
+        F.col(id_col).alias(bench_id_col), hash15(F.col("_sh")).alias("_h")
+    ).distinct()
+    return (
+        c.join(F.broadcast(b), "_h")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     text_col: str = "text",

@@ -170,3 +170,12 @@ def test_ivf_assign_large_k_is_broadcast_join(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert count_partial_final_aggs(df) >= 2, plan  # map-side min before exchange
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """Containment against a small benchmark set must broadcast the
+    benchmark shingles — the corpus side never shuffles its text."""
+    df = E.q_decontaminate(spark, SF)
+    plan = formatted_plan(df)
+    assert has_broadcast_hash_join(df), plan
+    assert "CartesianProduct" not in plan
