@@ -192,6 +192,12 @@ def _probe_masks(n_planes: int, probes: int) -> list[int]:
     probes=0 -> [0]; probes=1 adds the n single-bit flips; probes=2 adds
     the C(n,2) double flips. Query-side expansion only — the index is
     untouched, each extra probe is one more bucket lookup."""
+    if probes > 2:
+        raise ValueError(
+            f"probes={probes} unsupported: mask expansion is implemented for "
+            "Hamming radius <= 2 (C(n,3)+ masks explode combinatorially; "
+            "add planes instead of probes beyond that)"
+        )
     masks = [0]
     if probes >= 1:
         masks += [1 << i for i in range(n_planes)]

@@ -114,3 +114,15 @@ def test_blas_pairs_match_expression_pairs(spark, emb):
         )
         assert [tuple(r) for r in expr] == [tuple(r) for r in blas]
         assert len(expr) > 0
+
+
+def test_probe_masks_guard():
+    import pytest as _pytest
+
+    from couch_to_mongo_spark.functions.vectors import _probe_masks
+
+    assert len(_probe_masks(8, 0)) == 1
+    assert len(_probe_masks(8, 1)) == 9
+    assert len(_probe_masks(8, 2)) == 37
+    with _pytest.raises(ValueError):
+        _probe_masks(8, 3)
