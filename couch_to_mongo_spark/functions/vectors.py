@@ -590,7 +590,13 @@ def kmeans_train_gemm(
     parity with the relational paths is asserted on the clustered fixture
     up to aggregation-order noise below the rounding grain. For the
     handful-of-centroids regime, prefer :func:`kmeans_train` — its
-    assignment is the same codegen'd expression the oracle replays."""
+    assignment is the same codegen'd expression the oracle replays.
+
+    Driver-fold bound: the collect is O(partitions x clusters-present x
+    dim) doubles — ~500 MB at k=10^5, dim=64, 10^3 partitions. Beyond
+    that, swap the collect for a posexplode of the partial-sum arrays +
+    groupBy(cluster, dim) tree aggregation (k x dim result rows); the
+    kernel and contract are unchanged."""
     import numpy as np
 
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
