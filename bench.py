@@ -36,6 +36,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # doesn't hide behind warmup
 PRIOR_BENCH_GLOB = "BENCH_r*.json"
 REGRESSION_FACTOR = 1.5
+# a ratio alone over-flags sub-second probes (a 0.1s -> 0.18s wobble is
+# scheduler noise, not a plan regression): require an absolute delta too
+REGRESSION_MIN_DELTA_SEC = 0.5
 
 
 def _workdir_base() -> str | None:
@@ -269,7 +272,10 @@ def check_regressions(queries: dict[str, float], key: str = "queries") -> dict:
     regressions = {
         name: {"prior": prior_q[name], "now": t, "ratio": round(t / prior_q[name], 2)}
         for name, t in queries.items()
-        if name in prior_q and prior_q[name] > 0 and t > REGRESSION_FACTOR * prior_q[name]
+        if name in prior_q
+        and prior_q[name] > 0
+        and t > REGRESSION_FACTOR * prior_q[name]
+        and t - prior_q[name] > REGRESSION_MIN_DELTA_SEC
     }
     return {"vs": os.path.basename(priors[-1]), "flagged": regressions}
 
