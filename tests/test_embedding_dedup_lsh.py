@@ -126,3 +126,16 @@ def test_probe_masks_guard():
     assert len(_probe_masks(8, 2)) == 37
     with _pytest.raises(ValueError):
         _probe_masks(8, 3)
+
+
+def test_lsh_groups_deterministic_across_partitionings(emb):
+    """Same groups regardless of input partitioning: posting lists are
+    array_sort'ed before pair expansion, so collect_list's arbitrary
+    accumulation order never reaches the output."""
+    a = V.embedding_dedup_groups_lsh(emb, **LSH_KW).orderBy("vec_id").collect()
+    b = (
+        V.embedding_dedup_groups_lsh(emb.repartition(7), **LSH_KW)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert a == b
