@@ -841,6 +841,27 @@ FROM f
 """
 
 
+MIX_FRACTIONS = {"en": 0.9, "de": 0.5, "fr": 0.25, "es": 0.1, "zh": 0.05}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic mixture sampling (functions/text.py
+    stratified_sample): per-language keep fractions via a cross-engine
+    md5 hash threshold — same kept set on every run/engine/partitioning,
+    monotone under fraction increases."""
+    return X.stratified_sample(
+        _t(spark, sf_dir, "documents"), MIX_FRACTIONS, strata_col="lang", seed=7
+    ).select("doc_id", "lang")
+
+
+SQL_STRATIFIED = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_H("CAST(doc_id AS VARCHAR) || ':' || '7'")} % 1000000 <
+  CASE lang {' '.join(f"WHEN '{k}' THEN {int(v * 1_000_000)}" for k, v in sorted(MIX_FRACTIONS.items()))}
+  ELSE 0 END
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (functions/text.py ngram_contamination):
     corpus docs sharing >= 2 distinct 3-gram shingles with any doc of a
@@ -1333,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "curate_corpus": q_curate_corpus,
         "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
         "cosine_topk": q_cosine_topk,
         "neardup_cosine": q_neardup_cosine,
         "embedding_dedup_groups": q_embedding_dedup_groups,
@@ -1383,6 +1405,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKENS,
         "curate_corpus": SQL_CURATE,
         "decontaminate": SQL_DECONTAMINATE,
+        "stratified_sample": SQL_STRATIFIED,
         "cosine_topk": SQL_COSINE_TOPK,
         "neardup_cosine": SQL_NEARDUP,
         "embedding_dedup_groups": SQL_EMB_DEDUP_GROUPS,

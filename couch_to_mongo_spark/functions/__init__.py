@@ -12,6 +12,7 @@ from couch_to_mongo_spark.functions.text import (  # noqa: F401
     quality_features,
     repetition_features,
     simhash_pairs,
+    stratified_sample,
     token_counts,
 )
 from couch_to_mongo_spark.functions.vectors import (  # noqa: F401

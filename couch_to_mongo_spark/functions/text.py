@@ -441,6 +441,41 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic mixture sampling — the data-mixing operator: keep each
+    stratum (language, source, domain...) at its target fraction, selected
+    by a content-independent hash of the document id so the SAME documents
+    are kept on every run, every engine, and every partitioning (unlike
+    ``df.sample``, whose selection is partition-dependent).
+
+    keep  <=>  md5-hash(id:seed) mod 10^6  <  fraction * 10^6
+
+    Properties that matter at 100 TB:
+    - pure per-row predicate (codegen, no shuffle, pushes past column
+      pruning) — sampling 10^10 rows costs one scan;
+    - monotone in the fraction: raising a stratum's share KEEPS every
+      previously-kept doc and adds new ones (hash thresholding), so
+      mixture re-weighting between runs reuses prior outputs;
+    - seed changes draw an independent sample (hash input includes it);
+    - strata missing from ``fractions`` fall to ``default_fraction``.
+    """
+    h = F.pmod(
+        hash15(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+        F.lit(1_000_000),
+    )
+    thr = F.lit(int(default_fraction * 1_000_000))
+    for k, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == F.lit(k), F.lit(int(frac * 1_000_000))).otherwise(thr)
+    return df.where(h < thr)
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

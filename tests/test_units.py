@@ -367,3 +367,36 @@ def test_footer_stats_parallel_path_matches_serial(spark, tmp_table_path):
         M._FOOTER_PARALLEL_THRESHOLD = old
     assert par == ser
     assert par[0] == 3000
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    """Data-mixing sampler: same kept set across partitionings; raising a
+    stratum's fraction strictly grows (never replaces) the kept set; rates
+    land near targets."""
+    from pyspark.sql import functions as F
+
+    from couch_to_mongo_spark.functions.text import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    frac = {"en": 0.5, "de": 0.2}
+    a = stratified_sample(docs, frac, seed=3).select("doc_id")
+    b = stratified_sample(docs.repartition(13), frac, seed=3).select("doc_id")
+    ids_a = {r[0] for r in a.collect()}
+    assert ids_a == {r[0] for r in b.collect()}
+
+    bigger = stratified_sample(docs, {"en": 0.8, "de": 0.2}, seed=3).select("doc_id")
+    ids_big = {r[0] for r in bigger.collect()}
+    assert ids_a <= ids_big and len(ids_big) > len(ids_a)
+
+    rates = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, frac, seed=3)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(rates) == {"en", "de"}  # default fraction 0 drops the rest
+    for k, f in frac.items():
+        assert abs(rates[k] / totals[k] - f) < 0.1
