@@ -876,15 +876,43 @@ def q_decontaminate(spark, sf_dir):
 
 SQL_DECONTAMINATE = f"""
 WITH docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
-csh AS (SELECT DISTINCT doc_id, {_H('s')} AS h
+csh AS (SELECT doc_id, {_H('s')} AS h
         FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM docs
               WHERE doc_id >= 10)),
 bsh AS (SELECT DISTINCT doc_id AS bench_id, {_H('s')} AS h
         FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM docs
               WHERE doc_id < 10))
-SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_common
+SELECT c.doc_id, b.bench_id, CAST(count(DISTINCT c.h) AS BIGINT) AS n_common
 FROM csh c JOIN bsh b USING (h)
-GROUP BY 1, 2 HAVING count(*) >= 2
+GROUP BY 1, 2 HAVING count(DISTINCT c.h) >= 2
+"""
+
+
+def q_decontaminate_spans(spark, sf_dir):
+    """Decontamination span output (functions/text.py
+    ngram_contamination_spans): for every contaminated (doc, bench) pair,
+    the 1-based start positions of the matched 3-gram windows in the doc's
+    normalized token stream — the mask-not-drop workflow."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 10)
+    corpus = docs.where(F.col("doc_id") >= 10)
+    return X.ngram_contamination_spans(corpus, bench, n=3, min_common=2)
+
+
+SQL_DECONTAMINATE_SPANS = f"""
+WITH docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
+csp0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+          i -> struct_pack(pos := i, h := {_H("array_to_string(tk[i:i+2], ' ')")}))) AS u
+         FROM docs WHERE doc_id >= 10),
+csp AS (SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.h AS h FROM csp0),
+bsh AS (SELECT DISTINCT doc_id AS bench_id, {_H('s')} AS h
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM docs
+              WHERE doc_id < 10)),
+hits AS (SELECT c.doc_id, b.bench_id, c.pos, c.h FROM csp c JOIN bsh b USING (h)),
+agg AS (SELECT doc_id, bench_id FROM hits GROUP BY 1, 2
+        HAVING count(DISTINCT h) >= 2)
+SELECT DISTINCT h.doc_id, h.bench_id, h.pos
+FROM hits h JOIN agg a USING (doc_id, bench_id)
 """
 
 
@@ -1354,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "curate_corpus": q_curate_corpus,
         "decontaminate": q_decontaminate,
+        "decontaminate_spans": q_decontaminate_spans,
         "stratified_sample": q_stratified_sample,
         "cosine_topk": q_cosine_topk,
         "neardup_cosine": q_neardup_cosine,
@@ -1405,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKENS,
         "curate_corpus": SQL_CURATE,
         "decontaminate": SQL_DECONTAMINATE,
+        "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
         "stratified_sample": SQL_STRATIFIED,
         "cosine_topk": SQL_COSINE_TOPK,
         "neardup_cosine": SQL_NEARDUP,

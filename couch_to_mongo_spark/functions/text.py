@@ -498,20 +498,85 @@ def ngram_contamination(
     family (symmetric, inverted-index bound): containment against a fixed
     small set never needs the O(df^2) index.
 
+    Plan invariant (test_plans asserts it): NOTHING corpus-sized crosses
+    an exchange before the broadcast join — in particular no corpus-side
+    ``distinct`` (a full shuffle of every (doc, shingle) pair in the
+    corpus, the single largest shuffle a 10^10-doc run could issue, spent
+    before the filter that discards ~100% of it). Within-doc duplicate
+    shingles instead collapse in the post-join ``countDistinct``, which
+    only ever sees matched hits; the answer is identical.
+
     Output: (id, bench_id, n_common) for every contaminated pair —
-    downstream either drops the corpus doc or masks the overlapping span.
+    downstream either drops the corpus doc or masks the overlapping span
+    (:func:`ngram_contamination_spans` for the positions).
     """
     c = exploded_shingles(corpus, text_col, id_col, n).select(
         F.col(id_col), hash15(F.col("_sh")).alias("_h")
-    ).distinct()
+    )
     b = exploded_shingles(benchmark, text_col, id_col, n).select(
         F.col(id_col).alias(bench_id_col), hash15(F.col("_sh")).alias("_h")
     ).distinct()
     return (
         c.join(F.broadcast(b), "_h")
         .groupBy(id_col, bench_id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .agg(F.count_distinct(F.col("_h")).cast("long").alias("n_common"))
         .where(F.col("n_common") >= min_common)
+    )
+
+
+def ngram_contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_common: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Decontamination with SPAN output — the mask-not-drop workflow: for
+    every contaminated (doc, bench) pair (same >= ``min_common`` distinct
+    shared-shingle rule as :func:`ngram_contamination`), emit one row per
+    matched shingle occurrence with its 1-based start position in the
+    doc's normalized token stream, so downstream can mask the overlapping
+    n-gram windows instead of dropping the whole document.
+
+    Plan: identical asymmetric shape (broadcast benchmark hashes; corpus
+    side explodes positions but NEVER shuffles unmatched rows) — the only
+    exchange over corpus data carries matched (doc, pos, hash) hits, and
+    ONE aggregation produces both the contamination verdict
+    (count_distinct) and the position set (collect_set), per the
+    single-derivation rule. Positions of duplicate occurrences of the
+    same shared shingle are all emitted (each window needs masking).
+
+    Output: (id, bench_id, pos) — pos is the shingle's start token index
+    (1-based); the masked span is tokens [pos, pos + n - 1]."""
+    b = exploded_shingles(benchmark, text_col, id_col, n).select(
+        F.col(id_col).alias(bench_id_col), hash15(F.col("_sh")).alias("_h")
+    ).distinct()
+    d = corpus.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    # materialize the shingle array BEFORE the generator (plain-attribute
+    # explode input; see repetition_features' O(len^2) Generate note)
+    shs = d.select(
+        F.col(id_col), shingles_from_tokens(F.col("_tk"), n).alias("_shs")
+    )
+    c = shs.select(
+        F.col(id_col), F.posexplode(F.col("_shs")).alias("_p0", "_sh")
+    ).select(
+        F.col(id_col),
+        (F.col("_p0") + 1).cast("int").alias("pos"),
+        hash15(F.col("_sh")).alias("_h"),
+    )
+    agg = (
+        c.join(F.broadcast(b), "_h")
+        .groupBy(id_col, bench_id_col)
+        .agg(
+            F.count_distinct(F.col("_h")).alias("_nc"),
+            F.sort_array(F.collect_set("pos")).alias("_ps"),
+        )
+        .where(F.col("_nc") >= min_common)
+    )
+    return agg.select(
+        F.col(id_col), F.col(bench_id_col), F.explode("_ps").alias("pos")
     )
 
 

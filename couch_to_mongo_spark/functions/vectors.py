@@ -605,6 +605,10 @@ def kmeans_train_gemm(
     base = base.persist()
     try:
         init = base.orderBy(id_col).limit(k).collect()
+        # fewer rows than k: train with what exists (the relational
+        # kmeans_train handles short init the same way); tot_n/tot_s below
+        # are sized to the actual centroid count, not the requested k
+        k = len(init)
         ids = [int(r[0]) for r in init]
         cents = np.array(
             [[round(float(x), round_to) for x in r[1]] for r in init]
@@ -698,6 +702,11 @@ def ivf_assign(
     before the argmin in both, and ties break to the lowest list position
     (``array_position`` takes the first minimum; the struct-min compares
     (dist, pos)). Parity is test-asserted at k=8.
+
+    Precondition: ``id_col`` must be unique. The join plan's
+    ``groupBy(id)`` emits one row per DISTINCT id, while the literal plan
+    emits one row per input row — duplicate ids silently collapse in the
+    former (``kmeans_train``'s join path shares the same contract).
 
     At 100 TB the assignment is the partition key: each IVF list is a
     bucket, queries probe `nprobe` lists instead of scanning the table.

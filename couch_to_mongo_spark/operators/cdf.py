@@ -75,6 +75,10 @@ class ChangeFeedLog:
         import glob
 
         if not glob.glob(os.path.join(self.root, "run=*", "batch=*")):
+            # a table handle whose path holds no committed snapshot yet
+            # reads like table=None (the feed row schema is unknowable)
+            if table is not None and not table.exists():
+                table = None
             if table is not None:
                 from pyspark.sql import types as T
 
@@ -159,9 +163,13 @@ def feed_as_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.option("basePath", root).parquet(
+    df = reader.option("basePath", root).parquet(
         os.path.join(root, "run=*", "batch=*")
     )
+    # same schema as the batch read(): the directory-inferred run/batch
+    # partition columns duplicate the stored _run_id/_batch_id — drop them
+    # so batch and streaming consumers see ONE feed schema
+    return df.drop("run", "batch")
 
 
 def classify_changes(

@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -156,19 +157,26 @@ class CommitConflict(Exception):
 # process-wide cache never goes stale; a long-lived driver reads each bucket
 # manifest at most once. Bounded (LRU: overflow evicts the least-recently-
 # used entry, not the whole cache) to keep a many-table driver from hoarding.
+# Lock-guarded: snapshot materialization reads manifests through a thread
+# pool (_MANIFEST_PARALLEL_THRESHOLD), and at the eviction cap an unguarded
+# check-then-act can double-pop the same first key or mutate the dict mid-
+# iteration. The critical section is a dict move — nanoseconds next to the
+# file I/O it caches — so one module lock costs nothing.
 _MANIFEST_CACHE: dict[str, tuple[list[str], dict[str, list]]] = {}
 _MANIFEST_CACHE_MAX = 65536
+_MANIFEST_CACHE_LOCK = threading.Lock()
 # above this many buckets, a cold materialized snapshot load reads the
 # per-bucket manifests through a thread pool instead of a serial loop
 _MANIFEST_PARALLEL_THRESHOLD = 64
 
 
 def _cache_put(p: str, entry: tuple[list[str], dict[str, list]]) -> None:
-    if p in _MANIFEST_CACHE:
-        del _MANIFEST_CACHE[p]  # refresh recency (dict preserves insertion order)
-    elif len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
-        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
-    _MANIFEST_CACHE[p] = entry
+    with _MANIFEST_CACHE_LOCK:
+        # pop-then-reinsert refreshes recency (dict preserves insertion order)
+        _MANIFEST_CACHE.pop(p, None)
+        while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        _MANIFEST_CACHE[p] = entry
 
 
 class LakeTable:

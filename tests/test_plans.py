@@ -174,8 +174,25 @@ def test_ivf_assign_large_k_is_broadcast_join(spark):
 
 def test_decontaminate_broadcasts_benchmark_side(spark):
     """Containment against a small benchmark set must broadcast the
-    benchmark shingles — the corpus side never shuffles its text."""
-    df = E.q_decontaminate(spark, SF)
-    plan = formatted_plan(df)
-    assert has_broadcast_hash_join(df), plan
-    assert "CartesianProduct" not in plan
+    benchmark shingles — and NOTHING corpus-sized may cross an exchange
+    before the broadcast join (a pre-join corpus `distinct` was the single
+    largest shuffle in the repo at the 10^10-doc framing: a full hash
+    exchange of every (doc, shingle) pair, spent before the filter that
+    discards ~100% of it)."""
+    for q in (E.q_decontaminate, E.q_decontaminate_spans):
+        df = q(spark, SF)
+        plan = formatted_plan(df)
+        assert has_broadcast_hash_join(df), plan
+        assert "CartesianProduct" not in plan
+        # exactly: benchmark-side distinct (1) + post-join two-phase
+        # distinct-count agg (2); a corpus-side pre-join shuffle adds more
+        assert count_exchanges(df) == 3, plan
+        # the corpus branch is the join's LEFT (streamed) child: in the
+        # formatted tree its lines carry the ':' continuation prefix —
+        # no shuffle Exchange may appear there
+        tree = plan.split("\n\n")[0]
+        corpus_side = [
+            ln for ln in tree.splitlines()
+            if ln.lstrip().startswith(":") and "Exchange" in ln
+        ]
+        assert not corpus_side, corpus_side
