@@ -1033,14 +1033,17 @@ SELECT id AS vec_id, MIN(lbl) AS group_id FROM reach GROUP BY id
 def q_embedding_dedup_groups_lsh(spark, sf_dir):
     """PRODUCTION embedding dedup (functions/vectors.py
     embedding_dedup_groups_lsh): LSH-blocked candidate pairs (symmetric
-    multi-probe — no label column needed) -> exact cosine verify ->
-    connected-components closure. The label-free twin of
-    q_embedding_dedup_groups; the oracle replays the identical
-    plane/probe/cap pipeline including the recursive closure."""
+    multi-probe — no label column needed) -> per-bucket BLAS gram-matrix
+    verify -> connected-components closure. The label-free twin of
+    q_embedding_dedup_groups; n_planes=None derives the signature width
+    from the corpus count (vectors.derive_n_planes), and the oracle
+    replays the identical derivation + plane/probe/cap pipeline including
+    the recursive closure — so ONE code path serves 500 vectors and
+    10^10."""
     return V.embedding_dedup_groups_lsh(
         _t(spark, sf_dir, "embeddings"),
         threshold=0.3,
-        n_planes=8,
+        n_planes=None,
         dim=64,
         probes=1,
         max_bucket_size=200,
@@ -1048,17 +1051,23 @@ def q_embedding_dedup_groups_lsh(spark, sf_dir):
 
 
 SQL_EMB_DEDUP_GROUPS_LSH = """
-WITH RECURSIVE p AS (
+WITH RECURSIVE nv AS (
+  SELECT greatest(6, least(24, CAST(ceil(log2(count(*) / 8.0)) AS INT))) AS np
+  FROM embeddings),
+p AS (
   SELECT i.i AS pi, j.j AS pj,
          (CAST('0x' || substr(md5('pl' || CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 15) AS BIGINT)
           % 2001 - 1000) / 1000.0 AS w
-  FROM range(0, 8) i(i) CROSS JOIN range(0, 64) j(j)),
+  FROM range(0, 24) i(i) CROSS JOIN range(0, 64) j(j)
+  WHERE i.i < (SELECT np FROM nv)),
 d AS (SELECT e.vec_id, p.pi, sum(e.embedding[p.pj + 1]::DOUBLE * p.w) AS dp
       FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, p.pi),
 b AS (SELECT vec_id,
         CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << pi) ELSE 0 END) AS BIGINT) AS bucket
       FROM d GROUP BY vec_id),
-m AS (SELECT 0::BIGINT AS mm UNION ALL SELECT (1::BIGINT << i.i) FROM range(0, 8) i(i)),
+m AS (SELECT 0::BIGINT AS mm UNION ALL
+      SELECT (1::BIGINT << i.i) FROM range(0, 24) i(i)
+      WHERE i.i < (SELECT np FROM nv)),
 pb AS (SELECT vec_id, xor(bucket, mm) AS pbucket FROM b CROSS JOIN m),
 ok AS (SELECT pb.vec_id, pb.pbucket FROM pb
        JOIN (SELECT pbucket, count(*) AS c FROM pb GROUP BY 1) s USING (pbucket)

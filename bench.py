@@ -155,20 +155,12 @@ SF1_SINGLE_PASS = {"neardup_cosine"}
 
 
 def _sf1_overrides():
-    """Scale-sized variants for sf1: band selectivity must be sized to the
-    corpus (CLAUDE.md rule). The contract entry pins n_planes=8 (256
-    buckets — right for the driver's 500-vector sf0.01, and what the
-    static oracle SQL replays); at 20k vectors every 8-plane probed bucket
-    exceeds the size cap and the query degenerates to dropping everything,
-    so the sf1 tier runs the same operator with 12 planes (4096 buckets)."""
+    """Scale-sized variants for sf1. The former embedding_dedup_groups_lsh
+    override (12 planes for the 20k-vector tier, vs the contract's 8) is
+    GONE: the operator now sizes its signature to the corpus itself
+    (vectors.derive_n_planes — 12 planes at 20k, 6 at 500), so the sf1
+    bench runs the plain contract query."""
     from couch_to_mongo_spark.functions import vectors as V
-
-    def emb_lsh_sf1(spark, sf_dir):
-        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        return V.embedding_dedup_groups_lsh(
-            emb, threshold=0.3, n_planes=12, dim=64, probes=1,
-            max_bucket_size=200,
-        )
 
     def neardup_blas_sf1(spark, sf_dir):
         # same exact pairs as neardup_cosine (parity-tested), BLAS-blocked
@@ -194,7 +186,6 @@ def _sf1_overrides():
         return attach_components(emb, comp, id_col="vec_id", out_col="group_id")
 
     return {
-        "embedding_dedup_groups_lsh": emb_lsh_sf1,
         "neardup_cosine_blas": neardup_blas_sf1,
         "embedding_dedup_groups": emb_groups_sf1,
     }

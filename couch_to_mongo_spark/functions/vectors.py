@@ -169,6 +169,47 @@ def plane_component(i: int, j: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
+def _bucket_col(v: Column, n_planes: int, dim: int) -> Column:
+    """Sign-pattern bucket id of ``n_planes`` fixed hash-derived planes."""
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(plane_component(i, j)) for j in range(dim)])
+        bucket = bucket + F.when(dot(v, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+# adaptive plane-count derivation (shared with the DuckDB oracle, which
+# replays it as greatest(6, least(24, ceil(log2(count(*)/8.0))))): target
+# ~8 vectors per bucket in expectation — far enough under the default
+# 200-cap that skewed (clustered) buckets survive, selective enough that
+# no bucket holds a constant corpus fraction. CLAUDE.md rule made code:
+# "size bands to the corpus" — a fixed plane count degenerates at scale
+# (8 planes = 256 buckets puts every probed bucket of a 20k corpus over
+# the cap and the candidate stage silently drops EVERYTHING).
+_PLANES_MIN, _PLANES_MAX, _PLANES_TARGET_BUCKET = 6, 24, 8
+
+
+def derive_n_planes(n_rows: int) -> int:
+    import math
+
+    if n_rows <= _PLANES_TARGET_BUCKET:
+        return _PLANES_MIN
+    return max(
+        _PLANES_MIN,
+        min(_PLANES_MAX, math.ceil(math.log2(n_rows / _PLANES_TARGET_BUCKET))),
+    )
+
+
+def _resolve_n_planes(df: DataFrame, n_planes: int | None) -> int:
+    """``n_planes=None`` sizes the signature to the corpus: one count job
+    (metadata-only over parquet) buys non-degenerate defaults at any scale.
+    Pass an explicit count-derived value to skip the job on repeated calls
+    (or when the corpus size is known from table metadata)."""
+    if n_planes is not None:
+        return n_planes
+    return derive_n_planes(df.count())
+
+
 def lsh_bucket_ann(
     df: DataFrame,
     n_planes: int = 8,
@@ -178,13 +219,11 @@ def lsh_bucket_ann(
 ) -> DataFrame:
     """Random-hyperplane LSH bucketing: sign pattern of `n_planes` fixed
     hash-derived projections → bucket id. The IVF/LSH scale path for ANN:
-    query hashes to a bucket; search only that bucket."""
-    bucket = F.lit(0).cast("long")
+    query hashes to a bucket; search only that bucket. ``n_planes`` stays
+    explicit here (query and index side must agree; see
+    :func:`derive_n_planes` for corpus-adaptive sizing)."""
     v = F.col(vec_col).cast("array<double>")
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(plane_component(i, j)) for j in range(dim)])
-        bucket = bucket + F.when(dot(v, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    return df.select(F.col(id_col), _bucket_col(v, n_planes, dim).alias("bucket"))
 
 
 def _probe_masks(n_planes: int, probes: int) -> list[int]:
@@ -330,7 +369,7 @@ def planted_neardup_recall(
 
 def emb_lsh_candidate_pairs(
     df: DataFrame,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     probes: int = 1,
     max_bucket_size: int = 200,
@@ -354,9 +393,13 @@ def emb_lsh_candidate_pairs(
     bucket into sorted posting lists, oversized buckets (degenerate
     collision storms — at 8 planes a near-zero-norm cluster) are dropped
     by the same guard as the jaccard df cutoff, and pairs expand LOCALLY
-    per list (array HOF, no self-join shuffle), distinct across probes."""
+    per list (array HOF, no self-join shuffle), distinct across probes.
+
+    ``n_planes=None`` (default) sizes the signature to the corpus
+    (:func:`derive_n_planes`) so defaults never degenerate at scale."""
     from couch_to_mongo_spark.functions.text import _local_pairs
 
+    n_planes = _resolve_n_planes(df, n_planes)
     base = lsh_bucket_ann(df, n_planes, dim, vec_col, id_col)
     masks = _probe_masks(n_planes, probes)
     probed = base.select(
@@ -378,75 +421,222 @@ def emb_lsh_candidate_pairs(
     )
 
 
+def _make_bucket_stream_kernel(
+    threshold: float, max_bucket_size: int, id_col: str, round_to: int
+):
+    """Streaming per-bucket gram kernel for :func:`neardup_pairs_lsh`'s
+    BLAS verify (``mapInPandas``): consumes a pbucket-CONTIGUOUS row
+    stream (hash-partitioned + sorted by pbucket, so every bucket lives
+    whole inside one partition and is contiguous in it), grams each bucket
+    (``V @ V.T``) and emits its above-threshold pairs.
+
+    Why mapInPandas and not ``groupBy(pbucket).applyInPandas``: the
+    adaptive plane sizing targets ~8 rows per bucket, so a per-GROUP
+    kernel pays one Python/Arrow round-trip per tiny bucket (measured
+    ~1 ms each — thousands of buckets made invocation overhead the new
+    bottleneck); here one invocation serves a whole ~10k-row Arrow batch
+    and the per-bucket loop is a numpy-only inner loop. The trailing
+    (possibly batch-split) bucket is carried into the next batch —
+    batches iterate WITHIN one partition, so carry-over is sound, and the
+    upstream size gate bounds the carry at ``max_bucket_size`` rows.
+
+    Self-contained closure (cloudpickle by value)."""
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf, out):
+        # the stream arrives SORTED by pbucket, so each bucket is one
+        # contiguous run — pure numpy run-slicing, no per-group pandas
+        # machinery (a pandas groupby paid ~1 ms per tiny bucket; 4096
+        # adaptive buckets made that the new bottleneck)
+        pb = pdf["pbucket"].to_numpy()
+        ids_all = pdf[id_col].to_numpy()
+        V_all = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms_all = np.linalg.norm(V_all, axis=1)
+        cuts = np.flatnonzero(pb[1:] != pb[:-1]) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(pb)]))
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2 or n > max_bucket_size:
+                continue  # belt to the upstream window gate
+            order = np.argsort(ids_all[s:e], kind="stable")
+            ids = ids_all[s:e][order]
+            V = V_all[s:e][order]
+            norms = norms_all[s:e][order]
+            cos = (V @ V.T) / np.outer(norms, norms)
+            ia, ib = np.triu_indices(n, k=1)
+            cs = np.round(cos[ia, ib], round_to)
+            m = cs >= threshold
+            if m.any():
+                out.append((ids[ia[m]], ids[ib[m]], cs[m]))
+
+    def emit(out):
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([t[0] for t in out]),
+                "id_b": np.concatenate([t[1] for t in out]),
+                "cos_sim": np.concatenate([t[2] for t in out]),
+            }
+        )
+
+    def gen(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+            if not len(pdf):
+                continue
+            last = pdf["pbucket"].iloc[-1]
+            tail = pdf["pbucket"] == last
+            carry = pdf[tail]
+            body = pdf[~tail]
+            out: list = []
+            if len(body):
+                score(body, out)
+            if out:
+                yield emit(out)
+        if carry is not None and len(carry):
+            out = []
+            score(carry, out)
+            if out:
+                yield emit(out)
+
+    return gen
+
+
 def neardup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.3,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     probes: int = 1,
     max_bucket_size: int = 200,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 5,
+    verify: str = "blas",
 ) -> DataFrame:
     """Embedding near-dup pairs WITHOUT a label column: LSH-blocked
-    candidates (:func:`emb_lsh_candidate_pairs`) verified by exact cosine —
-    the embedding twin of the text pipeline's candidates->verify stage
-    (text.py lsh_verified_pairs). Candidates the signatures never co-bucket
-    are missed — LSH's recall trade; the DuckDB oracle replays the
-    identical plane/probe/cap pipeline so the miss set is identical
-    cross-engine, and recall is measured separately on planted near-dups
-    (tests/test_ann.py recall assertions).
+    candidates verified by exact cosine — the embedding twin of the text
+    pipeline's candidates->verify stage (text.py lsh_verified_pairs).
+    Candidates the signatures never co-bucket are missed — LSH's recall
+    trade; the DuckDB oracle replays the identical plane/probe/cap
+    pipeline so the miss set is identical cross-engine, and recall is
+    measured separately on planted near-dups (tests/test_ann.py,
+    test_embedding_dedup_lsh.py). ``n_planes=None`` sizes the signature
+    to the corpus (:func:`derive_n_planes`).
 
-    Norms materialize once per row before the join, so each of the
-    O(candidates) rows pays only the dot product."""
-    cand = emb_lsh_candidate_pairs(
-        df, n_planes, dim, probes, max_bucket_size, vec_col, id_col
-    )
-    base = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).select(F.col(id_col), F.col("_v"), l2norm(F.col("_v")).alias("_n"))
-    a = base.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
-    )
-    b = base.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
-    )
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "cos_sim",
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to),
+    ``verify="blas"`` (default, the production path): ONE shuffle groups
+    each probed bucket's (id, vector) rows (a window count drops
+    degenerate buckets inside the same exchange, so no oversized bucket
+    ever reaches Python memory), then a STREAMING per-bucket gram kernel
+    (``mapInPandas`` over the pbucket-contiguous stream,
+    :func:`_make_bucket_stream_kernel`) scores every within-bucket pair
+    with numpy ``V @ V.T`` — per-pair HOF dots cost ~6 µs interpreted
+    (the repo's measured 150× lesson,
+    :func:`neardup_pairs_by_label_blas`), which made the approximate
+    pipeline SLOWER than the exact BLAS one at sf1 (16.2 s vs 3.7 s).
+    The wire carries each vector once per probe mask (rows × n_masks ×
+    dim doubles); the candidate-pair set, by construction identical to
+    :func:`emb_lsh_candidate_pairs`, never crosses Arrow with vectors
+    attached. Pairs found in several probed buckets carry the same
+    rounded cosine, so the final ``distinct`` collapses them exactly as
+    the candidate-first plan did.
+
+    ``verify="exprs"`` keeps the Column-expression formulation (candidate
+    pairs -> two vector joins -> zip_with/aggregate dot): the
+    oracle-shaped reference the BLAS path is parity-tested against."""
+    n_planes = _resolve_n_planes(df, n_planes)
+    if verify == "exprs":
+        cand = emb_lsh_candidate_pairs(
+            df, n_planes, dim, probes, max_bucket_size, vec_col, id_col
         )
-        .where(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        base = df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        ).select(F.col(id_col), F.col("_v"), l2norm(F.col("_v")).alias("_n"))
+        a = base.select(
+            F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+        )
+        return (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "cos_sim",
+                F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to),
+            )
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
+    if verify != "blas":
+        raise ValueError(f"verify={verify!r} not in ('blas', 'exprs')")
+    from pyspark.sql import Window
+
+    masks = _probe_masks(n_planes, probes)
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    sig = base.select(
+        F.col(id_col), F.col("_v"), _bucket_col(F.col("_v"), n_planes, dim).alias("_b")
     )
+    probed = sig.select(
+        F.col(id_col),
+        F.col("_v"),
+        F.explode(
+            F.array(*[F.col("_b").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("pbucket"),
+    )
+    # size-gate INSIDE the bucket exchange: the window count and the
+    # pandas grouping share one hash partitioning on pbucket, and the
+    # filter runs before any group materializes in Python memory
+    w = Window.partitionBy("pbucket")
+    ok = (
+        probed.withColumn("_n", F.count(F.lit(1)).over(w))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
+        .drop("_n")
+    )
+    kernel = _make_bucket_stream_kernel(threshold, max_bucket_size, id_col, round_to)
+    id_t = df.schema[id_col].dataType.simpleString()
+    # sortWithinPartitions is removed as redundant while the Window's
+    # (hash-partition + sort on pbucket) output reaches the kernel
+    # directly; it stays as a local (shuffle-free) sort if a future plan
+    # change breaks the contiguity the stream kernel depends on
+    pairs = ok.sortWithinPartitions("pbucket").mapInPandas(
+        kernel, f"id_a {id_t}, id_b {id_t}, cos_sim double"
+    )
+    return pairs.distinct()
 
 
 def embedding_dedup_groups_lsh(
     df: DataFrame,
     threshold: float = 0.3,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     probes: int = 1,
     max_bucket_size: int = 200,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    verify: str = "blas",
 ) -> DataFrame:
     """Production embedding dedup at 100 TB: LSH-blocked candidates ->
-    exact cosine verify -> connected-components closure -> (vec_id,
-    group_id) for every vector. Same output contract as the label-blocked
-    exact twin (__spark_entry__.q_embedding_dedup_groups), but the blocking
-    key is derived from the vectors — usable on corpora with no labels.
-    The embedding mirror of text.py's lsh_dedup_groups."""
+    exact cosine verify (per-bucket BLAS gram matrix by default) ->
+    connected-components closure -> (vec_id, group_id) for every vector.
+    Same output contract as the label-blocked exact twin
+    (__spark_entry__.q_embedding_dedup_groups), but the blocking key is
+    derived from the vectors — usable on corpora with no labels. The
+    embedding mirror of text.py's lsh_dedup_groups. ``n_planes=None``
+    sizes the signature to the corpus (:func:`derive_n_planes`), so the
+    default configuration is non-degenerate from 500 vectors to 10^10."""
     from couch_to_mongo_spark.operators.components import (
         attach_components,
         connected_components,
     )
 
     pairs = neardup_pairs_lsh(
-        df, threshold, n_planes, dim, probes, max_bucket_size, vec_col, id_col
+        df, threshold, n_planes, dim, probes, max_bucket_size, vec_col,
+        id_col, verify=verify,
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return attach_components(df, comp, id_col=id_col, out_col="group_id")

@@ -116,6 +116,42 @@ def test_blas_pairs_match_expression_pairs(spark, emb):
         assert len(expr) > 0
 
 
+def test_lsh_blas_verify_matches_expression_verify(spark, emb):
+    """The production BLAS verify (per-probed-bucket gram matrix) must
+    emit EXACTLY the expression-join verify's pairs — same candidates by
+    construction, same cosine after the shared 5dp rounding — on both the
+    clustered fixture and the driver's noise fixture."""
+    for df, kw in [
+        (emb, LSH_KW),
+        (
+            spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"),
+            dict(threshold=0.3, n_planes=8, dim=64, probes=1, max_bucket_size=200),
+        ),
+    ]:
+        expr = sorted(
+            tuple(r) for r in V.neardup_pairs_lsh(df, **kw, verify="exprs").collect()
+        )
+        blas = sorted(
+            tuple(r) for r in V.neardup_pairs_lsh(df, **kw, verify="blas").collect()
+        )
+        assert expr == blas
+        assert len(blas) > 0
+
+
+def test_adaptive_plane_derivation():
+    """Defaults must not degenerate at scale: the derived signature width
+    tracks log2(corpus/8), clamped — 6 planes at driver scale, 12 at the
+    20k sf1 tier (the value the round-4 bench had to hand-override), 24 at
+    10^10."""
+    assert V.derive_n_planes(5) == 6
+    assert V.derive_n_planes(500) == 6
+    assert V.derive_n_planes(20_000) == 12
+    assert V.derive_n_planes(10**10) == 24
+    # monotone non-decreasing over a sweep (no sizing cliffs)
+    vals = [V.derive_n_planes(n) for n in range(1, 100_000, 997)]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+
 def test_probe_masks_guard():
     import pytest as _pytest
 

@@ -138,16 +138,22 @@ def test_fast_merge_single_shuffle(spark):
 
 
 def test_emb_lsh_pairs_no_cartesian_and_local_expansion(spark):
-    """The label-free embedding candidate stage must be bucket-collision
-    bound: no CartesianProduct anywhere, pair expansion local (Generate
-    over posting lists, not a self-join of the corpus)."""
+    """The label-free embedding verify must be bucket-collision bound: no
+    CartesianProduct anywhere, probe expansion local (Generate), and the
+    whole candidates+verify stage costs exactly TWO exchanges — one hash
+    partition on pbucket (shared by the window size-gate and the streaming
+    gram kernel) plus the final cross-probe distinct. A third exchange
+    means the verify re-shuffled candidates (the r4 expression plan paid
+    two vector equi-joins here)."""
     from couch_to_mongo_spark.functions import vectors as V
 
     emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
     df = V.neardup_pairs_lsh(emb, threshold=0.3)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
-    assert "Generate" in plan  # local posting-list pair expansion
+    assert "Generate" in plan  # local probe-mask expansion
+    assert "MapInPandas" in plan, plan  # streaming BLAS gram verify
+    assert count_exchanges(df) == 2, plan
 
 
 def test_curate_corpus_no_cartesian_single_scan_branches(spark):
