@@ -862,6 +862,42 @@ WHERE {_H("CAST(doc_id AS VARCHAR) || ':' || '7'")} % 1000000 <
 """
 
 
+# token budgets, not fractions — how mixing specs are actually written
+# ("8k English tokens, 3k German"); fixed absolute budgets scale-test
+# naturally (sf0.1 keeps a smaller fraction of a bigger corpus)
+TOKEN_BUDGETS = {"en": 8000, "de": 3000, "zh": 1500}
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Exact token-budget mixture sampling (functions/text.py
+    token_budget_sample): per stratum, keep docs in md5-hash order until
+    the cumulative BPE-ish token count reaches the budget — attained
+    within one document of target, deterministic, monotone in the budget
+    (prefix of a fixed order). The window-prefix twin of
+    q_stratified_sample; token_budget_fractions is the scan-only 100 TB
+    path when sampling noise is acceptable."""
+    return X.token_budget_sample(
+        _t(spark, sf_dir, "documents"), TOKEN_BUDGETS, strata_col="lang", seed=7
+    )
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+           AS n_tokens,
+         {_H("CAST(doc_id AS VARCHAR) || ':' || '7'")} % 1000000 AS h
+  FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (
+        PARTITION BY lang ORDER BY h, doc_id
+        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+SELECT doc_id, lang, n_tokens FROM c
+WHERE cum - n_tokens <
+  CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(TOKEN_BUDGETS.items()))}
+  ELSE 0 END
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (functions/text.py ngram_contamination):
     corpus docs sharing >= 2 distinct 3-gram shingles with any doc of a
@@ -919,8 +955,11 @@ FROM hits h JOIN agg a USING (doc_id, bench_id)
 def q_curate_corpus(spark, sf_dir):
     """The curation pipeline composed end to end (functions/text.py
     curate_corpus): quality + repetition features + exact-dedup keeper
-    election joined per document with the final keep verdict — the
-    one-query form of a pretraining data-prep pass."""
+    election + NEAR-dup group keeper election (lsh_dedup_groups as the
+    fourth branch; group_id is the component min, so the keeper test is
+    id == group_id) joined per document with the final keep verdict — the
+    one-query form of a pretraining data-prep pass. The oracle composes
+    the LSH-groups recursive-CTE family inside the curation CTE chain."""
     return X.curate_corpus(_t(spark, sf_dir, "documents"))
 
 
@@ -934,12 +973,16 @@ rep AS ({SQL_REPETITION}),
 fp AS (SELECT doc_id, md5({_NORM('text')}) AS fp FROM documents),
 k AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1),
 d AS (SELECT fp.doc_id, fp.doc_id = k.keeper AS is_exact_keeper
-      FROM fp JOIN k USING (fp))
+      FROM fp JOIN k USING (fp)),
+ndg AS ({SQL_LSH_DEDUP_GROUPS}),
+nd AS (SELECT doc_id, doc_id = group_id AS is_neardup_keeper FROM ndg)
 SELECT q.doc_id, q.n_tokens, q.quality_score, rep.dup_3gram_frac,
-       d.is_exact_keeper,
-       (d.is_exact_keeper AND q.n_tokens BETWEEN 15 AND 10000
+       d.is_exact_keeper, nd.is_neardup_keeper,
+       (d.is_exact_keeper AND nd.is_neardup_keeper
+        AND q.n_tokens BETWEEN 15 AND 10000
         AND q.punct_ratio <= 0.3 AND rep.dup_3gram_frac <= 0.5) AS keep
 FROM q JOIN rep ON q.doc_id = rep.doc_id JOIN d ON q.doc_id = d.doc_id
+     JOIN nd ON q.doc_id = nd.doc_id
 """
 
 
@@ -1393,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
         "stratified_sample": q_stratified_sample,
+        "token_budget_sample": q_token_budget_sample,
         "cosine_topk": q_cosine_topk,
         "neardup_cosine": q_neardup_cosine,
         "embedding_dedup_groups": q_embedding_dedup_groups,
@@ -1445,6 +1489,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
         "stratified_sample": SQL_STRATIFIED,
+        "token_budget_sample": SQL_TOKEN_BUDGET,
         "cosine_topk": SQL_COSINE_TOPK,
         "neardup_cosine": SQL_NEARDUP,
         "embedding_dedup_groups": SQL_EMB_DEDUP_GROUPS,

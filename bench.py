@@ -35,6 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # ordering keeps the cheap probes first so a regression in a heavy query
 # doesn't hide behind warmup
 PRIOR_BENCH_GLOB = "BENCH_r*.json"
+# every local run persists its full JSON here (the driver's BENCH_r*.json
+# capture is a 2000-char tail that can truncate to parsed=null — r4 did —
+# which silently disabled the old gate); the local record is authoritative
+LOCAL_BENCH_GLOB = os.path.join("BENCH", "BENCH_local_*.json")
 REGRESSION_FACTOR = 1.5
 # a ratio alone over-flags sub-second probes (a 0.1s -> 0.18s wobble is
 # scheduler noise, not a plan regression): require an absolute delta too
@@ -244,31 +248,91 @@ def run_ann_recall(spark, sf_dir: str) -> dict:
     return out
 
 
-def check_regressions(queries: dict[str, float], key: str = "queries") -> dict:
-    """Compare against the most recent BENCH_r*.json: any query slower than
-    REGRESSION_FACTOR x its prior time is flagged. Informational (the
-    sandbox has multi-minute interference storms; see BENCH/BASELINE.md) —
-    flags demand a re-run before believing them."""
+def _prior_query_mins(key: str, sf1_fixture: int | None = None) -> tuple[dict, list[str]]:
+    """Per-query MIN across EVERY parseable prior record — driver tails
+    (BENCH_r*.json) plus the full local records (BENCH/BENCH_local_*.json).
+
+    Gating against one round's numbers ratchets: a host-storm-inflated
+    round becomes the next round's baseline and real regressions hide
+    behind it (the r4 verdict's finding #2). The per-query min across all
+    history is storm-immune — a storm can only raise a round's numbers,
+    never lower them. Unusable priors (truncated driver capture, JSON
+    rot) are returned in ``skipped`` so the caller surfaces them LOUDLY
+    instead of silently gating against nothing. sf1 blocks are keyed by
+    the generator fixture version (gen_sf.GEN_VERSION): a regenerated
+    tier (r4 re-made the embeddings clustered) is a different workload,
+    so records without a matching ``sf1_fixture`` tag don't contribute
+    sf1 baselines."""
     import glob as _glob
 
-    priors = sorted(_glob.glob(PRIOR_BENCH_GLOB))
-    if not priors:
-        return {}
-    try:
-        with open(priors[-1]) as fh:
-            prior = json.load(fh)
-        prior_q = prior.get("parsed", prior).get(key, {})
-    except Exception:
-        return {}
+    baselines: dict[str, float] = {}
+    skipped: list[str] = []
+    for p in sorted(_glob.glob(PRIOR_BENCH_GLOB)) + sorted(_glob.glob(LOCAL_BENCH_GLOB)):
+        name = os.path.basename(p)
+        try:
+            with open(p) as fh:
+                rec = json.load(fh)
+            if "parsed" in rec and rec["parsed"] is None:
+                skipped.append(f"{name} (driver tail truncated: parsed=null)")
+                continue
+            body = rec.get("parsed") or rec
+            q = body.get(key)
+            if q is None:
+                continue  # record predates this block — not an error
+            if key == "queries_sf1" and body.get("sf1_fixture") != sf1_fixture:
+                skipped.append(
+                    f"{name} (sf1 fixture {body.get('sf1_fixture')!r}"
+                    f" != current {sf1_fixture!r})"
+                )
+                continue
+            for qname, t in q.items():
+                if isinstance(t, (int, float)) and t > 0:
+                    baselines[qname] = min(float(t), baselines.get(qname, float("inf")))
+        except Exception as exc:
+            skipped.append(f"{name} ({type(exc).__name__}: {exc})")
+    return baselines, skipped
+
+
+def check_regressions(
+    queries: dict[str, float], key: str = "queries", sf1_fixture: int | None = None
+) -> dict:
+    """Flag any query slower than REGRESSION_FACTOR x its best-ever prior
+    time (see :func:`_prior_query_mins`). Informational (the sandbox has
+    multi-minute interference storms; see BENCH/BASELINE.md) — flags
+    demand an exclusive re-run before believing them."""
+    prior_q, skipped = _prior_query_mins(key, sf1_fixture)
+    out: dict = {}
+    if skipped:
+        out["skipped_priors"] = skipped
+    if not prior_q:
+        return out
     regressions = {
         name: {"prior": prior_q[name], "now": t, "ratio": round(t / prior_q[name], 2)}
         for name, t in queries.items()
         if name in prior_q
-        and prior_q[name] > 0
         and t > REGRESSION_FACTOR * prior_q[name]
         and t - prior_q[name] > REGRESSION_MIN_DELTA_SEC
     }
-    return {"vs": os.path.basename(priors[-1]), "flagged": regressions}
+    if regressions:
+        out.update({"vs": "min-across-prior-records", "flagged": regressions})
+    return out
+
+
+def persist_local_record(result: dict) -> str:
+    """Write the complete bench JSON to BENCH/BENCH_local_NNN.json so the
+    repo's own record never depends on the driver's 2000-char tail
+    capture (which truncated r4's to parsed=null)."""
+    import glob as _glob
+
+    os.makedirs("BENCH", exist_ok=True)
+    n = len(_glob.glob(LOCAL_BENCH_GLOB)) + 1
+    path = os.path.join("BENCH", f"BENCH_local_{n:03d}.json")
+    while os.path.exists(path):  # racer/gap tolerance
+        n += 1
+        path = os.path.join("BENCH", f"BENCH_local_{n:03d}.json")
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    return path
 
 
 def cdc_only(cpus: int, n_events: int, n_files: int, n_buckets: int,
@@ -376,6 +440,8 @@ def main():
         }
 
     if not args.no_queries:
+        from couch_to_mongo_spark.gen_sf import GEN_VERSION
+
         result["queries"] = run_query_bench(spark, args.sf_dir)
         reg = check_regressions(result["queries"])
         if reg:
@@ -383,8 +449,11 @@ def main():
         result["ann_recall"] = run_ann_recall(spark, args.sf_dir)
         if not args.no_sf1:
             result["queries_sf1"] = run_sf1_bench(spark, args.sf1_dir)
-            reg1 = check_regressions(result["queries_sf1"], key="queries_sf1")
-            if reg1 and reg1.get("flagged"):
+            result["sf1_fixture"] = GEN_VERSION
+            reg1 = check_regressions(
+                result["queries_sf1"], key="queries_sf1", sf1_fixture=GEN_VERSION
+            )
+            if reg1:
                 result["regressions_sf1"] = reg1
             result["sf1_note"] = (
                 "sf1 = 10x sf0.1 (gen_sf.py: key-shifted replication; fresh "
@@ -399,6 +468,7 @@ def main():
         result["scaling"] = scaling
         _write_baseline_md(result, args)
 
+    result["local_record"] = persist_local_record(result)
     print(json.dumps(result))
 
 

@@ -11,12 +11,16 @@ from couch_to_mongo_spark.functions.text import (  # noqa: F401
     ngram_jaccard_pairs,
     quality_features,
     repetition_features,
+    ngram_contamination_spans,
     simhash_pairs,
     stratified_sample,
+    token_budget_fractions,
+    token_budget_sample,
     token_counts,
 )
 from couch_to_mongo_spark.functions.vectors import (  # noqa: F401
     cosine_topk,
+    derive_n_planes,
     embedding_dedup_groups_lsh,
     ivf_assign,
     ivf_assign_blas,

@@ -476,6 +476,101 @@ def stratified_sample(
     return df.where(h < thr)
 
 
+def _bpe_tokens_col(text_col: str) -> Column:
+    """The BPE-ish subword count (token_counts' bpe_tokens expression)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+        )
+    )
+
+
+def token_budget_fractions(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Solve per-stratum TOKEN budgets into :func:`stratified_sample`
+    fractions — data-mixing specs are written as token budgets ("300B
+    English, 50B code"), but the scalable sampler takes fractions. ONE
+    aggregation (per-stratum token totals, map-side combined, one row per
+    stratum on the driver) and fraction = budget / total, capped at 1.0.
+
+    This is the 100 TB path: the resulting sample is a pure codegen scan
+    predicate (no sort, no shuffle) whose EXPECTED token yield is the
+    budget; the realized yield has sampling noise O(1/sqrt(docs kept)) —
+    negligible at 10^8+ docs per stratum, so the exactness of
+    :func:`token_budget_sample`'s prefix method is not worth a
+    corpus-wide sort there."""
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(_bpe_tokens_col(text_col)).alias("_t"))
+        .collect()
+    }
+    return {
+        k: min(1.0, float(b) / float(totals[k]))
+        for k, b in budgets.items()
+        if k in totals and totals[k]
+    }
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT token-budget mixture sampling: per stratum, keep documents in
+    hash order until the cumulative token count reaches the stratum's
+    budget — the attained budget is within ONE document of the target
+    (the first doc whose window still started under budget is kept whole;
+    nothing after it is).
+
+    The hash order is the SAME content-independent md5 order as
+    :func:`stratified_sample`, which buys the identical properties:
+    deterministic across runs/engines/partitionings, monotone in the
+    budget (raising a budget keeps every previously-kept doc — prefix of
+    a fixed order), and seed-swappable. Equivalently: this IS
+    stratified_sample with the exact budget-attaining threshold.
+
+    Cost: one hash partition + per-stratum sort (the window) over the
+    corpus — right when budgets must land exactly (ablation mixes,
+    contract deliveries). For 10^10-doc corpora where sampling noise is
+    negligible anyway, :func:`token_budget_fractions` +
+    :func:`stratified_sample` gives the scan-only plan. Strata without a
+    budget entry are dropped (budget 0).
+
+    Output: (id, stratum, n_tokens) of kept docs."""
+    from pyspark.sql import Window
+
+    h = F.pmod(
+        hash15(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+        F.lit(1_000_000),
+    )
+    t = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        _bpe_tokens_col(text_col).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = F.lit(0).cast("long")
+    for k, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == F.lit(k), F.lit(int(b))).otherwise(budget)
+    c = t.withColumn("_cum", F.sum("n_tokens").over(w))
+    return c.where((F.col("_cum") - F.col("n_tokens")) < budget).select(
+        id_col, strata_col, "n_tokens"
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -588,24 +683,33 @@ def curate_corpus(
     max_tokens: int = 10_000,
     max_punct_ratio: float = 0.3,
     max_dup_3gram: float = 0.5,
+    near_dup: bool = True,
+    lsh_kwargs: dict | None = None,
 ) -> DataFrame:
     """The training-data curation pipeline composed end to end as ONE
     declarative plan — the query a 100 TB pretraining run actually issues:
-    Gopher/C4-style quality + repetition features and exact-dedup keeper
-    election, joined per document with a final ``keep`` verdict.
+    Gopher/C4-style quality + repetition features, exact-dedup keeper
+    election, and near-dup group keeper election, joined per document with
+    a final ``keep`` verdict.
 
     keep = exact-dedup keeper (min id of the fingerprint group)
+         AND near-dup group keeper (min id of the LSH dedup group —
+             every real curation run dedups fuzzily, not just exactly)
          AND min_tokens <= n_tokens <= max_tokens
          AND punct_ratio <= max_punct_ratio
          AND dup_3gram_frac <= max_dup_3gram
 
-    Plan shape: three independent derivations of the documents scan
-    (features, repetition, fingerprint+keeper) joined on the id — each is
-    its own shuffle-free (features) or single-shuffle (keeper groupBy)
-    branch, and Catalyst plans the id joins as one exchange each; at scale
-    the near-dup group id from ``lsh_dedup_groups`` slots in as a fourth
-    branch the same way. Output: (id, n_tokens, quality_score,
-    dup_3gram_frac, is_exact_keeper, keep)."""
+    Plan shape: four independent derivations of the documents scan
+    (features, repetition, fingerprint+keeper, LSH groups) joined on the
+    id. Features are shuffle-free, the keeper branch is one groupBy, and
+    the near-dup branch is :func:`lsh_dedup_groups` (bucket-collision-
+    bound candidates + verify + components fixpoint) — its group_id IS
+    the component minimum, so keeper election there is a free comparison,
+    not another aggregation. ``near_dup=False`` skips the fourth branch
+    (and its fixpoint) for runs that exact-dedup only; ``lsh_kwargs``
+    forwards (k, bands, n, threshold, max_bucket_size). Output: (id,
+    n_tokens, quality_score, dup_3gram_frac, is_exact_keeper,
+    [is_neardup_keeper,] keep)."""
     q = quality_features(df, text_col, id_col)
     r = repetition_features(df, text_col, id_col)
     fps = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
@@ -620,12 +724,23 @@ def curate_corpus(
         & (F.col("punct_ratio") <= max_punct_ratio)
         & (F.col("dup_3gram_frac") <= max_dup_3gram)
     )
+    nd_cols: list = []
+    if near_dup:
+        groups = lsh_dedup_groups(df, text_col, id_col, **(lsh_kwargs or {}))
+        nd = groups.select(
+            F.col(id_col),
+            (F.col(id_col) == F.col("group_id")).alias("is_neardup_keeper"),
+        )
+        out = out.join(nd, id_col)
+        keep = keep & F.col("is_neardup_keeper")
+        nd_cols = [F.col("is_neardup_keeper")]
     return out.select(
         F.col(id_col),
         F.col("n_tokens"),
         F.col("quality_score"),
         F.col("dup_3gram_frac"),
         F.col("is_exact_keeper"),
+        *nd_cols,
         keep.alias("keep"),
     )
 

@@ -400,3 +400,102 @@ def test_stratified_sample_deterministic_and_monotone(spark):
     assert set(rates) == {"en", "de"}  # default fraction 0 drops the rest
     for k, f in frac.items():
         assert abs(rates[k] / totals[k] - f) < 0.1
+
+
+def test_regression_gate_min_across_priors(tmp_path, monkeypatch):
+    """The bench gate must (a) flag a genuine 2x slowdown against the
+    best-EVER prior (not just the latest — a storm-inflated round must not
+    ratchet the baseline), (b) loudly report unusable priors (the driver's
+    r4 tail truncated to parsed=null and the old gate silently returned
+    {}), and (c) exclude sf1 records whose fixture version differs
+    (regenerated tiers are different workloads)."""
+    import json as _json
+
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    # r1: fast (the true best); r2: storm-inflated; r3: truncated tail
+    (tmp_path / "BENCH_r01.json").write_text(
+        _json.dumps({"parsed": {"queries": {"q": 1.0}, "queries_sf1": {"v": 5.0},
+                                "sf1_fixture": 2}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        _json.dumps({"parsed": {"queries": {"q": 4.0}, "queries_sf1": {"v": 1.0},
+                                "sf1_fixture": 1}})
+    )
+    (tmp_path / "BENCH_r03.json").write_text(_json.dumps({"parsed": None, "tail": "..."}))
+    (tmp_path / "BENCH_r04.json").write_text("{not json")
+
+    # 2.5 vs best-ever 1.0 -> flagged even though latest prior said 4.0
+    reg = bench.check_regressions({"q": 2.5})
+    assert reg["flagged"]["q"]["prior"] == 1.0
+    assert reg["flagged"]["q"]["ratio"] == 2.5
+    skipped = "\n".join(reg["skipped_priors"])
+    assert "BENCH_r03.json" in skipped and "parsed=null" in skipped
+    assert "BENCH_r04.json" in skipped  # JSON rot is loud, not silent
+
+    # within factor of best-ever -> no flag, but skips still surface
+    reg_ok = bench.check_regressions({"q": 1.2})
+    assert "flagged" not in reg_ok
+    assert reg_ok["skipped_priors"]
+
+    # sf1: r2's v=1.0 has fixture 1 != current 2 -> only r1's 5.0 counts
+    reg1 = bench.check_regressions({"v": 9.0}, key="queries_sf1", sf1_fixture=2)
+    assert reg1["flagged"]["v"]["prior"] == 5.0
+    assert any("fixture" in s for s in reg1["skipped_priors"])
+
+    # local full records participate too (and beat driver tails on MIN)
+    (tmp_path / "BENCH").mkdir()
+    (tmp_path / "BENCH" / "BENCH_local_001.json").write_text(
+        _json.dumps({"queries": {"q": 0.5}})
+    )
+    reg2 = bench.check_regressions({"q": 2.5})
+    assert reg2["flagged"]["q"]["prior"] == 0.5
+
+    # persistence: full JSON lands under BENCH/ with a fresh index
+    p = bench.persist_local_record({"queries": {"q": 2.5}})
+    assert p.endswith("BENCH_local_002.json")
+    assert _json.load(open(p))["queries"]["q"] == 2.5
+
+
+def test_token_budget_sample_attainment_and_monotonicity(spark):
+    """The window-prefix sampler must land within ONE document of each
+    stratum's token budget (and within 1% for budgets >> doc size), be a
+    strict superset under budget increases (prefix property), and agree
+    with the fraction solver's expected-yield arithmetic."""
+    from couch_to_mongo_spark.functions.text import (
+        stratified_sample,
+        token_budget_fractions,
+        token_budget_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    budgets = {"en": 8000, "de": 3000}
+    out = token_budget_sample(docs, budgets, seed=7).toPandas()
+    max_doc = out["n_tokens"].max()
+    for lang, b in budgets.items():
+        got = int(out[out["lang"] == lang]["n_tokens"].sum())
+        # >= budget (the crossing doc is kept whole), over by < one doc
+        assert b <= got < b + max_doc, (lang, got, b)
+        assert got - b <= 0.01 * b or got - b <= max_doc
+    # monotone: doubling one budget keeps every previously-kept doc
+    out2 = token_budget_sample(docs, {"en": 16000, "de": 3000}, seed=7).toPandas()
+    assert set(out["doc_id"]) <= set(out2["doc_id"])
+    # unlisted strata are dropped entirely
+    assert set(out["lang"]) == set(budgets)
+
+    # fraction solver: budget/total capped at 1, and the derived
+    # stratified_sample keeps ~budget tokens in expectation
+    fr = token_budget_fractions(docs, {"en": 8000, "de": 10**9})
+    assert fr["de"] == 1.0 and 0 < fr["en"] < 1
+    kept = stratified_sample(docs, fr, strata_col="lang")
+    from couch_to_mongo_spark.functions.text import _bpe_tokens_col
+    import pyspark.sql.functions as F
+
+    got_en = (
+        kept.where(F.col("lang") == "en")
+        .agg(F.sum(_bpe_tokens_col("text")))
+        .collect()[0][0]
+    )
+    # hash-threshold yield has sampling noise; fixture is small so allow 20%
+    assert abs(got_en - 8000) < 0.2 * 8000, got_en
