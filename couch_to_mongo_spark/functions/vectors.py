@@ -758,6 +758,12 @@ def kmeans_train(
         base.unpersist()
 
 
+#: above this many partial doubles (partitions x k x dim), the GEMM
+#: trainer folds partials executor-side (groupBy + per-dim sums) instead
+#: of collecting them raw — ~400 MB of driver heap at the default
+GEMM_TREE_FOLD_THRESHOLD = 50_000_000
+
+
 def kmeans_train_gemm(
     df: DataFrame,
     k: int = 256,
@@ -766,6 +772,7 @@ def kmeans_train_gemm(
     id_col: str = "vec_id",
     sample_frac: float | None = None,
     round_to: int = 6,
+    fold: str = "auto",
 ) -> list[tuple[int, list[float]]]:
     """Lloyd training for VERY large k (10^4-10^5 IVF lists), GEMM
     formulation: each iteration is ONE ``mapInPandas`` pass — per Arrow
@@ -782,11 +789,17 @@ def kmeans_train_gemm(
     handful-of-centroids regime, prefer :func:`kmeans_train` — its
     assignment is the same codegen'd expression the oracle replays.
 
-    Driver-fold bound: the collect is O(partitions x clusters-present x
-    dim) doubles — ~500 MB at k=10^5, dim=64, 10^3 partitions. Beyond
-    that, swap the collect for a posexplode of the partial-sum arrays +
-    groupBy(cluster, dim) tree aggregation (k x dim result rows); the
-    kernel and contract are unchanged."""
+    Partial fold (``fold``): ``"driver"`` collects the O(partitions x
+    clusters-present) partial rows and folds in numpy — cheapest while
+    they fit (no extra Spark job structure); ``"tree"`` folds them
+    EXECUTOR-side first (``groupBy(_c)`` with per-dim ``sum`` aggregates
+    — the kmeans element_at-per-dim AGG shape, map-side combined), so the
+    driver only ever receives k x (dim+1) values regardless of partition
+    count — the 10^5-list regime where raw partials are ~500 MB.
+    ``"auto"`` (default) switches to tree above
+    :data:`GEMM_TREE_FOLD_THRESHOLD` partial doubles. Both folds round
+    identically per iteration; float summation order differs below the
+    rounding grain only (parity test asserts equal centroids)."""
     import numpy as np
 
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
@@ -832,15 +845,33 @@ def kmeans_train_gemm(
 
             return gen
 
+        if fold not in ("auto", "driver", "tree"):
+            raise ValueError(f"fold={fold!r} not in ('auto', 'driver', 'tree')")
+        use_tree = fold == "tree" or (
+            fold == "auto"
+            and base.rdd.getNumPartitions() * k * dim > GEMM_TREE_FOLD_THRESHOLD
+        )
         for _ in range(n_iters):
-            partials = base.mapInPandas(
+            part_df = base.mapInPandas(
                 make_gen(cents), "_c int, _n bigint, _s array<double>"
-            ).collect()
+            )
             tot_n = np.zeros(k, dtype=np.int64)
             tot_s = np.zeros((k, dim))
-            for r in partials:
-                tot_n[r["_c"]] += r["_n"]
-                tot_s[r["_c"]] += np.asarray(r["_s"])
+            if use_tree:
+                folded = part_df.groupBy("_c").agg(
+                    F.sum("_n").alias("_n"),
+                    *[
+                        F.sum(F.element_at("_s", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                ).collect()
+                for r in folded:
+                    tot_n[r["_c"]] = r["_n"]
+                    tot_s[r["_c"]] = [r[f"s{i}"] for i in range(dim)]
+            else:
+                for r in part_df.collect():
+                    tot_n[r["_c"]] += r["_n"]
+                    tot_s[r["_c"]] += np.asarray(r["_s"])
             new = cents.copy()
             nz = tot_n > 0
             new[nz] = np.round(tot_s[nz] / tot_n[nz, None], round_to)
@@ -855,6 +886,10 @@ def kmeans_train_gemm(
 # are fine for k <= ~10^2, but real IVF wants 10^4-10^5 lists and the
 # expression tree (and codegen method size) grows linearly with k
 IVF_JOIN_THRESHOLD = 64
+# above this count, composed paths (ivf_pq_topk) route assignment through
+# the ivf_assign_blas GEMM kernel: the join plan pays k interpreted HOF
+# fold evaluations per row (~us each), the GEMM one multiply per batch
+IVF_BLAS_THRESHOLD = 1000
 
 
 def ivf_assign(
@@ -1315,6 +1350,7 @@ def ivf_pq_topk(
     refine: bool = True,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    blas_threshold: int | None = None,
 ) -> DataFrame:
     """The full ANN index stack composed: IVF routing x PQ compression x
     exact refine — FAISS's IVFPQ(+refine) as DataFrame ops.
@@ -1331,7 +1367,14 @@ def ivf_pq_topk(
     ``centroids`` / ``codebooks`` accept pre-trained quantizers
     (:func:`kmeans_train` / :func:`pq_train`); defaults train inline —
     fine for tests, wasteful per-query in production (train once, reuse).
-    Output: (id, adc_dist ascending; exact distance when refining)."""
+    The routing assignment follows the full crossover matrix: literal /
+    broadcast-join via :func:`ivf_assign` below ``blas_threshold``
+    (default :data:`IVF_BLAS_THRESHOLD`) centroids, the
+    :func:`ivf_assign_blas` GEMM kernel above it (10^4-list coarse
+    quantizers pay k interpreted fold evaluations per row in the join
+    plan, one matrix multiply per Arrow batch here; same winner — three-
+    way parity is test-locked). Output: (id, adc_dist ascending; exact
+    distance when refining)."""
     if centroids is None:
         centroids = kmeans_train(
             df, k=n_centroids, n_iters=2, vec_col=vec_col, id_col=id_col
@@ -1346,7 +1389,14 @@ def ivf_pq_topk(
     )
     probed = [int(c[0]) for c in by_dist[:nprobe]]
 
-    assign = ivf_assign(df, vec_col=vec_col, id_col=id_col, centroids=centroids)
+    if blas_threshold is None:
+        blas_threshold = IVF_BLAS_THRESHOLD
+    if len(centroids) > blas_threshold:
+        assign = ivf_assign_blas(
+            df, centroids=centroids, vec_col=vec_col, id_col=id_col
+        )
+    else:
+        assign = ivf_assign(df, vec_col=vec_col, id_col=id_col, centroids=centroids)
     survivors = df.join(
         assign.where(F.col("centroid_id").isin(probed)).select(id_col), id_col
     )

@@ -187,3 +187,39 @@ def test_kmeans_gemm_parity_and_large_k(spark, clustered):
         1 for i, v in big if not np.allclose(v, np.asarray(init[i], dtype=float), atol=1e-9)
     )
     assert moved > 100  # training actually refined most centroids
+
+
+def test_kmeans_gemm_tree_fold_parity_and_large_k(spark, clustered):
+    """The executor-side tree fold must produce the SAME centroids as the
+    driver fold (both round per iteration; summation order differs below
+    the grain), and a 10^4-centroid train must complete with the driver
+    receiving only k x (dim+1) folded values — the 10^5-list escalation
+    path (the raw-partials collect is O(partitions x k x dim))."""
+    from couch_to_mongo_spark.functions.vectors import kmeans_train_gemm
+
+    df, _ = clustered
+    drv = kmeans_train_gemm(df, k=K, n_iters=3, fold="driver")
+    tree = kmeans_train_gemm(df, k=K, n_iters=3, fold="tree")
+    assert [i for i, _ in drv] == [i for i, _ in tree]
+    for (_, va), (_, vb) in zip(drv, tree):
+        assert np.allclose(va, vb, atol=2e-6)
+
+    # k=10^4 smoke: deterministic synthetic corpus, one Lloyd iteration
+    big = (
+        spark.range(12_000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    ((F.col("id") * 17 + j * 31) % 97 / 97.0).cast("double")
+                    for j in range(16)
+                ]
+            ).alias("embedding"),
+        )
+    )
+    cents = kmeans_train_gemm(big, k=10_000, n_iters=1, fold="tree")
+    assert len(cents) == 10_000
+    assert all(len(v) == 16 for _, v in cents)
+
+    with pytest.raises(ValueError):
+        kmeans_train_gemm(df, k=K, n_iters=1, fold="bogus")

@@ -86,3 +86,27 @@ def test_ivf_pq_topk_routes_and_refines(spark, emb):
         assert len(got) == 10
         hits += len(truth & {r["vec_id"] for r in got})
     assert hits / 50 >= 0.8, hits / 50
+
+
+def test_ivf_pq_topk_gemm_route_parity(spark, emb):
+    """Above the BLAS crossover the composed path must route assignment
+    through the ivf_assign_blas GEMM kernel (MapInPandas in the plan) and
+    return EXACTLY the default route's rows — same winner by the locked
+    three-way assignment parity, so the composed output cannot differ."""
+    from couch_to_mongo_spark.functions.vectors import (
+        ivf_pq_topk,
+        kmeans_train,
+        pq_train,
+    )
+
+    cents = kmeans_train(emb, k=8, n_iters=2)
+    books = pq_train(emb, m=4, ksub=8)
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    base = ivf_pq_topk(emb, qv, k=10, nprobe=2, centroids=cents, codebooks=books)
+    gemm = ivf_pq_topk(
+        emb, qv, k=10, nprobe=2, centroids=cents, codebooks=books,
+        blas_threshold=4,  # force the >threshold route at k=8
+    )
+    plan = gemm._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert [tuple(r) for r in base.collect()] == [tuple(r) for r in gemm.collect()]
