@@ -952,6 +952,101 @@ FROM hits h JOIN agg a USING (doc_id, bench_id)
 """
 
 
+def q_mask_contaminated(spark, sf_dir):
+    """The mask-not-drop decontamination endgame (functions/text.py
+    mask_contaminated): every token inside a matched benchmark n-gram
+    window is replaced with a sentinel; clean docs pass through whole.
+    Oracle composes the spans CTE family, expands each span to its n
+    token indices, and rebuilds the normalized token stream with a list
+    comprehension."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.mask_contaminated(
+        docs.where(F.col("doc_id") >= 10), docs.where(F.col("doc_id") < 10),
+        n=3, min_common=2,
+    )
+
+
+SQL_MASK_CONTAMINATED = f"""
+WITH sp AS ({SQL_DECONTAMINATE_SPANS}),
+mp AS (SELECT doc_id, list_sort(list(DISTINCT p)) AS mask
+       FROM (SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS p FROM sp)
+       GROUP BY doc_id),
+d AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents WHERE doc_id >= 10)
+SELECT d.doc_id,
+       array_to_string(
+         [CASE WHEN list_contains(coalesce(mp.mask, []), i)
+               THEN '<extra_id_0>' ELSE d.tk[i] END
+          FOR i IN generate_series(1, len(d.tk))], ' ') AS masked_text,
+       CAST(len(coalesce(mp.mask, [])) AS BIGINT) AS n_masked
+FROM d LEFT JOIN mp ON d.doc_id = mp.doc_id
+"""
+
+
+# a high-frequency marker ('the' keeps only non-English docs) plus a
+# never-occurring term — exercises both verdicts on the fixture
+BLOCKLIST = ["the", "qusvxz"]
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """C4-style bad-words filter (functions/text.py blocklist_filter):
+    per-doc blocklist hit count over the normalized token stream (array
+    literal + HOF filter, zero shuffle) and a keep verdict at
+    max_hits=0."""
+    return X.blocklist_filter(
+        _t(spark, sf_dir, "documents"), BLOCKLIST, max_hits=0
+    )
+
+
+SQL_BLOCKLIST = f"""
+WITH docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(tk, x -> list_contains({BLOCKLIST!r}, x))) AS BIGINT)
+         AS n_blocked,
+       len(list_filter(tk, x -> list_contains({BLOCKLIST!r}, x))) <= 0 AS keep
+FROM docs
+"""
+
+
+PACK_SEQ_LEN, PACK_SHARDS = 128, 4
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing (functions/text.py
+    pack_sequences): deterministic md5-hash layout order, shard-local
+    cumulative token offsets, one output row per (document, sequence)
+    span — every sequence except each shard's last is exactly seq_len
+    tokens (test-asserted)."""
+    return X.pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        seq_len=PACK_SEQ_LEN, n_shards=PACK_SHARDS, seed=7,
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+           AS n,
+         {_H("CAST(doc_id AS VARCHAR) || ':' || '7'")} % 1000000 AS h
+  FROM documents),
+t2 AS (SELECT *, CAST(h % {PACK_SHARDS} AS INT) AS shard FROM t WHERE n > 0),
+c AS (SELECT *, sum(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum FROM t2),
+s AS (SELECT doc_id, shard, CAST(cum - n AS BIGINT) AS gs,
+             CAST(cum AS BIGINT) AS ge FROM c),
+e AS (SELECT doc_id, shard, gs, ge,
+             unnest(generate_series(gs // {PACK_SEQ_LEN}, (ge - 1) // {PACK_SEQ_LEN}))
+               AS seq_id
+      FROM s)
+SELECT doc_id, shard, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(gs, seq_id * {PACK_SEQ_LEN}) - seq_id * {PACK_SEQ_LEN} AS BIGINT)
+         AS start_in_seq,
+       CAST(least(ge, (seq_id + 1) * {PACK_SEQ_LEN})
+            - greatest(gs, seq_id * {PACK_SEQ_LEN}) AS BIGINT) AS n_toks
+FROM e
+"""
+
+
 def q_curate_corpus(spark, sf_dir):
     """The curation pipeline composed end to end (functions/text.py
     curate_corpus): quality + repetition features + exact-dedup keeper
@@ -1435,6 +1530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
+        "mask_contaminated": q_mask_contaminated,
+        "blocklist_filter": q_blocklist_filter,
+        "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "token_budget_sample": q_token_budget_sample,
         "cosine_topk": q_cosine_topk,
@@ -1488,6 +1586,9 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": SQL_CURATE,
         "decontaminate": SQL_DECONTAMINATE,
         "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
+        "mask_contaminated": SQL_MASK_CONTAMINATED,
+        "blocklist_filter": SQL_BLOCKLIST,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "stratified_sample": SQL_STRATIFIED,
         "token_budget_sample": SQL_TOKEN_BUDGET,
         "cosine_topk": SQL_COSINE_TOPK,

@@ -571,6 +571,165 @@ def token_budget_sample(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing — the step that turns a curated
+    corpus into fixed-length training sequences: documents are laid out in
+    a deterministic hash order and the concatenated token stream is cut
+    every ``seq_len`` tokens; a document crossing a cut emits one row per
+    sequence it touches. (The packing layout most pretraining stacks use —
+    GPT-style concat+chunk — rather than bin-packing whole docs, which is
+    inherently sequential.)
+
+    The hash order doubles as the training shuffle (content-independent
+    md5 of the id, same family as :func:`stratified_sample`), so the
+    layout is reproducible across runs/engines/partitionings. Sequences
+    are packed within ``n_shards`` independent shards (shard = hash mod
+    n_shards): each shard's window is one partition of a single exchange,
+    so packing 10^10 docs costs one shuffle with n_shards-bounded
+    parallelism — raise ``n_shards`` with the corpus; sequence identity
+    (shard, seq_id) stays deterministic for a fixed (n_shards, seed).
+
+    Output: (id, shard, seq_id, start_in_seq, n_toks) — one row per
+    (document, sequence) span; ``sum(n_toks) over (shard, seq_id)`` =
+    seq_len for every sequence except each shard's last. Zero-token docs
+    (empty after normalization) are dropped."""
+    from pyspark.sql import Window
+
+    h = F.pmod(
+        hash15(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+        F.lit(1_000_000),
+    )
+    t = df.select(
+        F.col(id_col),
+        _bpe_tokens_col(text_col).cast("long").alias("_n"),
+        h.alias("_h"),
+    ).where(F.col("_n") > 0)
+    t = t.withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    L = F.lit(int(seq_len)).cast("long")
+    # materialize the span bounds BEFORE the explode: expressions selected
+    # alongside a Generate re-evaluate per output element (CLAUDE.md rule)
+    spans = t.withColumn("_cum", F.sum("_n").over(w)).select(
+        F.col(id_col),
+        F.col("shard"),
+        (F.col("_cum") - F.col("_n")).alias("_gs"),
+        F.col("_cum").alias("_ge"),
+    )
+    e = spans.select(
+        F.col(id_col),
+        F.col("shard"),
+        F.col("_gs"),
+        F.col("_ge"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_gs") / L), F.floor((F.col("_ge") - 1) / L)
+            )
+        ).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("_gs"), F.col("seq_id") * L)
+    seg_end = F.least(F.col("_ge"), (F.col("seq_id") + 1) * L)
+    return e.select(
+        F.col(id_col),
+        F.col("shard"),
+        F.col("seq_id").cast("long"),
+        (seg_start - F.col("seq_id") * L).cast("long").alias("start_in_seq"),
+        (seg_end - seg_start).cast("long").alias("n_toks"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4-style bad-words filtering: count blocklist terms in the
+    normalized token stream; ``keep`` iff at most ``max_hits``. The
+    blocklist rides as an expression literal (real blocklists are 10^2-
+    10^3 terms — driver-side constant, no join), the token array
+    materializes once per row before the HOF filter (the lambda must read
+    a plain attribute, not re-tokenize per element), and the whole thing
+    is one shuffle-free scan. Matching is against NORMALIZED tokens
+    (lower, punctuation stripped) — multi-word or sub-token patterns want
+    the contamination operators instead.
+
+    Output: (id, n_blocked, keep)."""
+    arr = F.array(*[F.lit(w) for w in blocklist])
+    d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    hits = F.size(F.filter(F.col("_tk"), lambda x: F.array_contains(arr, x)))
+    return d.select(
+        F.col(id_col),
+        hits.cast("long").alias("n_blocked"),
+        (hits <= F.lit(int(max_hits))).alias("keep"),
+    )
+
+
+def mask_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_common: int = 2,
+    mask_token: str = "<extra_id_0>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The mask-not-drop decontamination endgame: apply
+    :func:`ngram_contamination_spans` to the corpus, replacing every token
+    inside a matched n-gram window with ``mask_token`` — contaminated
+    documents keep their clean content instead of being dropped whole.
+
+    Plan: spans (broadcast-asymmetric, corpus never shuffles unmatched
+    rows) -> per-doc masked-position set (explode each span to its n
+    token indices, one groupBy over MATCHED docs only) -> left join back
+    to the corpus (clean docs pass through with an empty mask) -> one
+    HOF transform swaps masked positions. The rebuilt text is the
+    NORMALIZED token stream (masking happens post-normalization, where
+    the spans are defined); n_masked counts masked token positions.
+
+    Output: (id, masked_text, n_masked)."""
+    spans = ngram_contamination_spans(
+        corpus, benchmark, n=n, min_common=min_common,
+        text_col=text_col, id_col=id_col,
+    )
+    masked_pos = (
+        spans.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("_p"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("_p")).alias("_mask"))
+    )
+    d = corpus.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk")).join(
+        masked_pos, id_col, "left"
+    )
+    mask = F.coalesce(F.col("_mask"), F.array().cast("array<int>"))
+    d = d.select(F.col(id_col), F.col("_tk"), mask.alias("_m"))
+    out_tokens = F.zip_with(
+        F.col("_tk"),
+        F.sequence(F.lit(1), F.size("_tk")),
+        lambda t, i: F.when(F.array_contains(F.col("_m"), i), F.lit(mask_token)).otherwise(t),
+    )
+    return d.select(
+        F.col(id_col),
+        F.concat_ws(" ", out_tokens).alias("masked_text"),
+        F.size("_m").cast("long").alias("n_masked"),
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -499,3 +499,60 @@ def test_token_budget_sample_attainment_and_monotonicity(spark):
     )
     # hash-threshold yield has sampling noise; fixture is small so allow 20%
     assert abs(got_en - 8000) < 0.2 * 8000, got_en
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing must tile exactly: per (shard, seq_id) the spans sum to
+    seq_len (except each shard's final sequence), start offsets are
+    contiguous, total packed tokens equal the corpus total, and the
+    layout is partitioning-independent (hash order, not partition
+    order)."""
+    from couch_to_mongo_spark.functions.text import _bpe_tokens_col, pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = pack_sequences(docs, seq_len=128, n_shards=4, seed=7).toPandas()
+
+    total = docs.select(F.sum(_bpe_tokens_col("text"))).collect()[0][0]
+    assert int(out["n_toks"].sum()) == int(total)
+
+    grp = out.groupby(["shard", "seq_id"])["n_toks"].sum()
+    last = out.groupby("shard")["seq_id"].max()
+    for (shard, seq_id), s in grp.items():
+        if seq_id == last[shard]:
+            assert 0 < s <= 128
+        else:
+            assert s == 128, (shard, seq_id, s)
+    # spans within a sequence are gapless
+    for (_, _), g in out.groupby(["shard", "seq_id"]):
+        g = g.sort_values("start_in_seq")
+        pos = 0
+        for _, r in g.iterrows():
+            assert r["start_in_seq"] == pos
+            pos += r["n_toks"]
+
+    repart = pack_sequences(
+        docs.repartition(13), seq_len=128, n_shards=4, seed=7
+    ).toPandas()
+    a = sorted(map(tuple, out.to_numpy().tolist()))
+    b = sorted(map(tuple, repart.to_numpy().tolist()))
+    assert a == b
+
+
+def test_mask_contaminated_semantics(spark):
+    """Masked docs carry the sentinel exactly n_masked times; clean docs
+    rebuild to their normalized token stream unchanged."""
+    from couch_to_mongo_spark.functions.text import mask_contaminated, norm_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench = docs.where(F.col("doc_id") < 10)
+    corpus = docs.where(F.col("doc_id") >= 10)
+    out = mask_contaminated(corpus, bench, n=3, min_common=2)
+    joined = out.join(
+        corpus.select("doc_id", norm_text(F.col("text")).alias("_norm")), "doc_id"
+    ).toPandas()
+    dirty = joined[joined["n_masked"] > 0]
+    assert len(dirty) > 0
+    for _, r in joined.iterrows():
+        assert r["masked_text"].split().count("<extra_id_0>") == r["n_masked"]
+        if r["n_masked"] == 0:
+            assert r["masked_text"] == r["_norm"]
