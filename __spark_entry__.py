@@ -301,6 +301,83 @@ FROM ranked WHERE rn = 1 AND op <> 'd'
 """
 
 
+def _fold_state_with_role(spark, sf_dir):
+    """LWW-resolved live turn state + a deterministic role column
+    (turn_idx % 3 → user/assistant/tool) so the conversation operators
+    exercise the role-tagged path; the fixture feed has no role field."""
+    ch = _derive_changes(_t(spark, sf_dir, "events"))
+    win = lww_dedup(ch, ["conv_id", "turn_idx"], ["seq"])
+    return win.where(F.col("op") != "d").select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("turn_idx") % 3 == 0, F.lit("user"))
+        .when(F.col("turn_idx") % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+        .alias("role"),
+        "text",
+    )
+
+
+_SQL_FOLD_ROLE = f"""
+WITH fold AS ({SQL_CDC_FOLD})
+SELECT conv_id, turn_idx,
+       CASE CAST(turn_idx % 3 AS INTEGER) WHEN 0 THEN 'user'
+            WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       text
+FROM fold
+"""
+
+
+def q_render_conversations(spark, sf_dir):
+    """Conversation assembly (functions/transcripts.py
+    render_conversations): fold the LWW-resolved (conv_id, turn_idx)
+    state into one ordered role-tagged training document per
+    conversation — one shuffle, collect_list + array_sort + array_join,
+    no window."""
+    from couch_to_mongo_spark.functions.transcripts import render_conversations
+
+    return render_conversations(
+        _fold_state_with_role(spark, sf_dir), role_col="role", sep="\n"
+    )
+
+
+SQL_RENDER_CONV = f"""
+WITH r AS ({_SQL_FOLD_ROLE})
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(length(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx))
+            AS BIGINT) AS n_chars,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+FROM r
+GROUP BY conv_id
+"""
+
+
+BOILERPLATE_MIN_CONVS = 3
+
+
+def q_boilerplate_turns(spark, sf_dir):
+    """C4-style cross-conversation boilerplate rule at turn granularity
+    (functions/transcripts.py turn_boilerplate): a turn text appearing in
+    >= 3 distinct conversations is boilerplate (keep=false)."""
+    from couch_to_mongo_spark.functions.transcripts import turn_boilerplate
+
+    return turn_boilerplate(
+        _fold_state_with_role(spark, sf_dir), min_convs=BOILERPLATE_MIN_CONVS
+    )
+
+
+SQL_BOILERPLATE = f"""
+WITH fold AS ({SQL_CDC_FOLD}),
+c AS (SELECT md5(text) AS h,
+             CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+      FROM fold GROUP BY 1)
+SELECT f.conv_id, f.turn_idx, c.n_convs,
+       c.n_convs < {BOILERPLATE_MIN_CONVS} AS keep
+FROM fold f JOIN c ON md5(f.text) = c.h
+"""
+
+
 def q_rev_order(spark, sf_dir):
     """C4: CouchDB-style N-hash rev parsing + (gen, hash) LWW ordering."""
     ev = _t(spark, sf_dir, "events").select(
@@ -1506,6 +1583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "count_probe": q_count_probe,
         "cdc_fold": q_cdc_fold,
+        "render_conversations": q_render_conversations,
+        "boilerplate_turns": q_boilerplate_turns,
         "rev_order": q_rev_order,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -1562,6 +1641,8 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup": SQL_POINT,
         "count_probe": SQL_COUNT,
         "cdc_fold": SQL_CDC_FOLD,
+        "render_conversations": SQL_RENDER_CONV,
+        "boilerplate_turns": SQL_BOILERPLATE,
         "rev_order": SQL_REV,
         "sessionize": SQL_SESSIONIZE,
         "asof_join": SQL_ASOF,

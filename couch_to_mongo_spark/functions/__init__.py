@@ -21,6 +21,10 @@ from couch_to_mongo_spark.functions.text import (  # noqa: F401
     token_budget_sample,
     token_counts,
 )
+from couch_to_mongo_spark.functions.transcripts import (  # noqa: F401
+    render_conversations,
+    turn_boilerplate,
+)
 from couch_to_mongo_spark.functions.vectors import (  # noqa: F401
     cosine_topk,
     derive_n_planes,

@@ -250,7 +250,11 @@ def test_cdf_feeds_a_downstream_replica_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow stops on its own; awaitTermination(t) returns False on
+    # timeout WITHOUT the stream being done — asserting the return value
+    # turns a host-throttle stall into a loud timeout instead of a
+    # confusing row-count mismatch downstream.
+    assert q.awaitTermination(300), "replica stream did not drain in 300s"
 
     primary = read_state(table).toPandas().sort_values(
         ["conv_id", "turn_idx"]).reset_index(drop=True)

@@ -202,3 +202,25 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
             if ln.lstrip().startswith(":") and "Exchange" in ln
         ]
         assert not corpus_side, corpus_side
+
+
+def test_render_conversations_single_shuffle(spark):
+    """Conversation assembly is ONE exchange (groupBy conv) with a
+    partial/final ObjectHashAggregate pair — no window, no sort exchange."""
+    df = E.q_render_conversations(spark, SF)
+    plan = formatted_plan(df)
+    # fold (1 exchange for the LWW groupBy) + conversation groupBy (1)
+    assert count_exchanges(df) == 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_boilerplate_turns_no_cartesian_bounded_shuffles(spark):
+    """The C4 turn-boilerplate rule: countDistinct agg + hash join back.
+    The counts side must reuse its aggregation partitioning — total
+    exchanges stay bounded (fold + agg + join-side), no cartesian, no
+    collect_set window."""
+    df = E.q_boilerplate_turns(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert count_exchanges(df) <= 4, plan
