@@ -378,6 +378,57 @@ FROM fold f JOIN c ON md5(f.text) = c.h
 """
 
 
+CONV_PACK_SEQ_LEN, CONV_PACK_SHARDS = 64, 2
+
+
+def q_conversation_pack(spark, sf_dir):
+    """The full lakehouse-to-training bridge in ONE declarative plan:
+    LWW fold of the change feed -> role-tagged conversation assembly
+    (render_conversations) -> concat-then-chunk sequence packing
+    (pack_sequences) over the rendered docs. What a pretraining run
+    actually consumes from the CDC table."""
+    from couch_to_mongo_spark.functions.transcripts import render_conversations
+
+    rendered = render_conversations(
+        _fold_state_with_role(spark, sf_dir), role_col="role", sep="\n"
+    )
+    return X.pack_sequences(
+        rendered,
+        seq_len=CONV_PACK_SEQ_LEN,
+        n_shards=CONV_PACK_SHARDS,
+        text_col="doc",
+        id_col="conv_id",
+        seed=0,
+    )
+
+
+SQL_CONV_PACK = f"""
+WITH rendered AS ({SQL_RENDER_CONV}),
+t AS (
+  SELECT conv_id,
+         CAST(len(regexp_extract_all(lower(doc), '[a-z0-9]+|[^a-z0-9\\s]'))
+              AS BIGINT) AS n,
+         {_H("conv_id || ':' || '0'")} % 1000000 AS h
+  FROM rendered),
+t2 AS (SELECT *, CAST(h % {CONV_PACK_SHARDS} AS INT) AS shard FROM t WHERE n > 0),
+c AS (SELECT *, sum(n) OVER (PARTITION BY shard ORDER BY h, conv_id
+                             ROWS UNBOUNDED PRECEDING) AS cum FROM t2),
+s AS (SELECT conv_id, shard, CAST(cum - n AS BIGINT) AS gs,
+             CAST(cum AS BIGINT) AS ge FROM c),
+e AS (SELECT conv_id, shard, gs, ge,
+             unnest(generate_series(gs // {CONV_PACK_SEQ_LEN},
+                                    (ge - 1) // {CONV_PACK_SEQ_LEN}))
+               AS seq_id
+      FROM s)
+SELECT conv_id, shard, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(gs, seq_id * {CONV_PACK_SEQ_LEN})
+            - seq_id * {CONV_PACK_SEQ_LEN} AS BIGINT) AS start_in_seq,
+       CAST(least(ge, (seq_id + 1) * {CONV_PACK_SEQ_LEN})
+            - greatest(gs, seq_id * {CONV_PACK_SEQ_LEN}) AS BIGINT) AS n_toks
+FROM e
+"""
+
+
 def q_rev_order(spark, sf_dir):
     """C4: CouchDB-style N-hash rev parsing + (gen, hash) LWW ordering."""
     ev = _t(spark, sf_dir, "events").select(
@@ -1585,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fold": q_cdc_fold,
         "render_conversations": q_render_conversations,
         "boilerplate_turns": q_boilerplate_turns,
+        "conversation_pack": q_conversation_pack,
         "rev_order": q_rev_order,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -1643,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_fold": SQL_CDC_FOLD,
         "render_conversations": SQL_RENDER_CONV,
         "boilerplate_turns": SQL_BOILERPLATE,
+        "conversation_pack": SQL_CONV_PACK,
         "rev_order": SQL_REV,
         "sessionize": SQL_SESSIONIZE,
         "asof_join": SQL_ASOF,

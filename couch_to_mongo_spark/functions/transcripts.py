@@ -28,6 +28,8 @@ def render_conversations(
     text_col: str = "text",
     role_col: str | None = None,
     sep: str = "\n",
+    max_turns: int | None = None,
+    keep: str = "last",
 ) -> DataFrame:
     """Fold per-turn state into one ordered training document per
     conversation: ``(conv, n_turns, n_chars, doc)`` where ``doc`` is the
@@ -45,7 +47,15 @@ def render_conversations(
     ``array_sort`` on the struct sorts by field order, so ``turn_col``
     leads the struct; within a conversation turn_idx is unique (post-LWW
     state), making the layout deterministic and partitioning-independent.
+
+    ``max_turns`` is the context-window truncation (and the guard against
+    a pathological conversation blowing the per-group buffer): keep only
+    the last (``keep="last"``, the usual context-window rule) or first
+    ``max_turns`` turns, applied as ``slice`` on the sorted array —
+    still zero extra shuffles. ``n_turns`` reports the RENDERED count.
     """
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
     fields = [F.col(turn_col).cast("int").alias("_t")]
     if role_col is not None:
         fields.append(F.col(role_col).alias("_r"))
@@ -53,12 +63,33 @@ def render_conversations(
     agg = df.groupBy(F.col(conv_col)).agg(
         F.array_sort(F.collect_list(F.struct(*fields))).alias("_turns")
     )
+    if max_turns is not None:
+        # separate projection so the sorted array binds ONCE (CLAUDE.md
+        # materialize-before-reference rule); slice(start=-m) is invalid
+        # for arrays shorter than m, so short conversations pass through
+        m = int(max_turns)
+        sliced = (
+            F.slice(F.col("_turns"), 1, m)
+            if keep == "first"
+            else F.when(F.size("_turns") <= m, F.col("_turns")).otherwise(
+                F.slice(F.col("_turns"), -m, m)
+            )
+        )
+        agg = agg.select(F.col(conv_col), sliced.alias("_turns"))
+    # null-safe: array_join silently DROPS null elements, so a null role
+    # or text must degrade to the non-null parts, never lose the turn
     if role_col is not None:
         rendered = F.transform(
-            F.col("_turns"), lambda t: F.concat(t["_r"], F.lit(": "), t["_x"])
+            F.col("_turns"),
+            lambda t: F.concat(
+                F.coalesce(F.concat(t["_r"], F.lit(": ")), F.lit("")),
+                F.coalesce(t["_x"], F.lit("")),
+            ),
         )
     else:
-        rendered = F.transform(F.col("_turns"), lambda t: t["_x"])
+        rendered = F.transform(
+            F.col("_turns"), lambda t: F.coalesce(t["_x"], F.lit(""))
+        )
     return agg.select(
         F.col(conv_col),
         F.size(F.col("_turns")).cast("long").alias("n_turns"),
@@ -93,7 +124,10 @@ def turn_boilerplate(
     counter. Within-conversation repeats of the same text count once
     (distinct convs, not occurrences), matching the C4 rule.
     """
-    h = F.md5(F.col(text_col)).alias("_h")
+    # null-safe: md5(NULL) is NULL and a NULL join key never matches —
+    # a null-text turn would silently vanish from the verdicts. Treat
+    # null as empty text (they're the same turn content for this rule).
+    h = F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h")
     counts = df.select(h, F.col(conv_col)).groupBy("_h").agg(
         F.countDistinct(conv_col).cast("long").alias("n_convs")
     )

@@ -96,6 +96,29 @@ def main(argv: list[str] | None = None) -> int:
                    help="drop batches more than N below each run's fence "
                         "instead of printing rows")
 
+    p = sub.add_parser(
+        "render", help="export training docs from table state: one ordered "
+        "role-tagged document per conversation (optionally packed into "
+        "fixed-length token sequences)"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--out", required=True, help="output parquet directory")
+    p.add_argument("--sep", default="\n")
+    p.add_argument("--no-roles", action="store_true",
+                   help="render bare turn text without 'role: ' tags")
+    p.add_argument("--max-turns", type=int, default=None,
+                   help="context-window truncation (keeps --keep side)")
+    p.add_argument("--keep", choices=["first", "last"], default="last")
+    p.add_argument("--pack-seq-len", type=int, default=None,
+                   help="also emit concat-then-chunk sequence spans at "
+                        "this token length")
+    p.add_argument("--pack-shards", type=int, default=64)
+    p.add_argument("--drop-boilerplate", type=int, default=None,
+                   metavar="MIN_CONVS",
+                   help="drop turns whose exact text occurs in >= "
+                        "MIN_CONVS distinct conversations (C4 line rule) "
+                        "before rendering")
+
     p = sub.add_parser("vacuum", help="expire old snapshots + reclaim orphans")
     p.add_argument("--table", required=True)
     p.add_argument("--keep-last", type=int, default=10)
@@ -166,6 +189,54 @@ def main(argv: list[str] | None = None) -> int:
             purge_tombstones=args.purge_tombstones,
         )
         print(json.dumps({"buckets_compacted": len(folded)}))
+    elif args.cmd == "render":
+        from couch_to_mongo_spark.functions.transcripts import (
+            render_conversations,
+        )
+        from couch_to_mongo_spark.operators.merge import read_state
+        from couch_to_mongo_spark.tableformat import LakeTable
+
+        state = read_state(LakeTable(spark, args.table))
+        if args.drop_boilerplate is not None:
+            from couch_to_mongo_spark.functions.transcripts import (
+                turn_boilerplate,
+            )
+
+            verdicts = turn_boilerplate(
+                state, min_convs=args.drop_boilerplate
+            ).where("keep").select("conv_id", "turn_idx")
+            state = state.join(verdicts, ["conv_id", "turn_idx"], "left_semi")
+        role_col = None if args.no_roles or "role" not in state.columns else "role"
+        docs = render_conversations(
+            state,
+            role_col=role_col,
+            sep=args.sep,
+            max_turns=args.max_turns,
+            keep=args.keep,
+        )
+        out = {"out": args.out}
+        if args.pack_seq_len is not None:
+            from couch_to_mongo_spark.functions.text import pack_sequences
+
+            docs.write.mode("overwrite").parquet(args.out + "/docs")
+            spans = pack_sequences(
+                spark.read.parquet(args.out + "/docs"),
+                seq_len=args.pack_seq_len,
+                n_shards=args.pack_shards,
+                text_col="doc",
+                id_col="conv_id",
+            )
+            spans.write.mode("overwrite").parquet(args.out + "/sequences")
+            out["n_conversations"] = spark.read.parquet(
+                args.out + "/docs"
+            ).count()
+            out["n_sequence_spans"] = spark.read.parquet(
+                args.out + "/sequences"
+            ).count()
+        else:
+            docs.write.mode("overwrite").parquet(args.out)
+            out["n_conversations"] = spark.read.parquet(args.out).count()
+        print(json.dumps(out))
     elif args.cmd == "vacuum":
         from couch_to_mongo_spark.tableformat import LakeTable
 

@@ -43,3 +43,94 @@ def test_rescale_and_changes_cli(spark, tmp_path, capsys):
     assert sum(b["files_per_bucket"].values()) == st["n_files"]
     assert b["max_files_in_bucket"] >= 1
     assert b["manifest_bytes"] > 0 and b["n_manifests"] >= 1
+
+
+def test_render_cli_exports_training_docs(spark, tmp_path, capsys):
+    """render: one ordered doc per conversation from live state; --pack
+    also emits fixed-length sequence spans that tile exactly."""
+    generate_changes(
+        str(tmp_path / "changes"), n_events=600, n_convs=8, seed=72, n_files=2
+    )
+    pipe = CdcPipeline(
+        spark,
+        table_path=str(tmp_path / "table"),
+        changes_dir=str(tmp_path / "changes"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4,
+        max_files_per_trigger=1,
+    ).run_available()
+
+    from couch_to_mongo_spark.operators.merge import read_state
+    from couch_to_mongo_spark.tableformat import LakeTable
+
+    state = read_state(LakeTable(spark, pipe.table_path))
+    n_convs = state.select("conv_id").distinct().count()
+
+    out_dir = str(tmp_path / "export")
+    submit_main.main(["render", "--table", pipe.table_path, "--out", out_dir])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_conversations"] == n_convs
+
+    docs = spark.read.parquet(out_dir).toPandas()
+    assert set(docs.columns) == {"conv_id", "n_turns", "n_chars", "doc"}
+    assert int(docs["n_turns"].sum()) == state.count()
+    # role tags present when the state carries roles
+    if "role" in state.columns:
+        assert docs["doc"].str.contains(": ").any()
+
+    packed_dir = str(tmp_path / "export_packed")
+    submit_main.main(
+        ["render", "--table", pipe.table_path, "--out", packed_dir,
+         "--pack-seq-len", "32", "--pack-shards", "2"]
+    )
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_conversations"] == n_convs
+    assert res["n_sequence_spans"] > 0
+    spans = spark.read.parquet(packed_dir + "/sequences").toPandas()
+    sums = spans.groupby(["shard", "seq_id"])["n_toks"].sum()
+    for shard in spans["shard"].unique():
+        s = sums.loc[shard].sort_index()
+        assert (s.iloc[:-1] == 32).all() and s.iloc[-1] <= 32
+
+
+def test_render_cli_drop_boilerplate(spark, tmp_path, capsys):
+    """--drop-boilerplate removes turns shared across >= K conversations
+    before rendering; a high threshold is a no-op."""
+    generate_changes(
+        str(tmp_path / "changes"), n_events=600, n_convs=8, seed=73, n_files=1
+    )
+    pipe = CdcPipeline(
+        spark,
+        table_path=str(tmp_path / "table"),
+        changes_dir=str(tmp_path / "changes"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4,
+    ).run_available()
+
+    out_all = str(tmp_path / "all")
+    submit_main.main(["render", "--table", pipe.table_path, "--out", out_all])
+    n_all = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    total_all = int(
+        spark.read.parquet(out_all).toPandas()["n_turns"].sum()
+    )
+
+    out_noop = str(tmp_path / "noop")
+    submit_main.main(
+        ["render", "--table", pipe.table_path, "--out", out_noop,
+         "--drop-boilerplate", "10000"]
+    )
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert int(
+        spark.read.parquet(out_noop).toPandas()["n_turns"].sum()
+    ) == total_all
+
+    out_cut = str(tmp_path / "cut")
+    submit_main.main(
+        ["render", "--table", pipe.table_path, "--out", out_cut,
+         "--drop-boilerplate", "2"]
+    )
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    total_cut = int(
+        spark.read.parquet(out_cut).toPandas()["n_turns"].sum()
+    )
+    assert total_cut <= total_all

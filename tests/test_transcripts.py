@@ -105,3 +105,69 @@ def test_boilerplate_threshold_edge(spark):
     # min_convs=3: 2 < 3 -> kept
     out = turn_boilerplate(df, min_convs=3).collect()
     assert all(r["keep"] is True for r in out)
+
+
+def test_render_max_turns_truncation(spark):
+    rows = [("c1", i, "user", f"t{i}") for i in range(10)] + [
+        ("c2", 0, "user", "short")
+    ]
+    df = _turns(spark, rows)
+    last = {
+        r["conv_id"]: r
+        for r in render_conversations(df, max_turns=3, keep="last").collect()
+    }
+    assert last["c1"]["doc"] == "t7\nt8\nt9"
+    assert last["c1"]["n_turns"] == 3  # rendered count, not raw
+    assert last["c2"]["doc"] == "short"  # shorter than the window: intact
+    first = {
+        r["conv_id"]: r
+        for r in render_conversations(df, max_turns=3, keep="first").collect()
+    }
+    assert first["c1"]["doc"] == "t0\nt1\nt2"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        render_conversations(df, max_turns=3, keep="middle")
+
+
+def test_conversation_pack_contract_invariants(spark):
+    """The composed fold->render->pack entry: every sequence except each
+    shard's last is exactly seq_len tokens, offsets tile gaplessly."""
+    import __spark_entry__ as E
+
+    out = E.q_conversation_pack(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    g = out.groupby(["shard", "seq_id"])["n_toks"].sum().reset_index()
+    for shard, grp in g.groupby("shard"):
+        grp = grp.sort_values("seq_id")
+        assert (grp["n_toks"].iloc[:-1] == E.CONV_PACK_SEQ_LEN).all()
+        assert grp["n_toks"].iloc[-1] <= E.CONV_PACK_SEQ_LEN
+
+
+def test_render_null_role_and_text_keep_the_turn(spark):
+    """array_join drops null elements — a null role or text must degrade
+    to the non-null parts, never silently lose the turn."""
+    df = spark.createDataFrame(
+        [("c1", 0, None, "hi"), ("c1", 1, "assistant", None), ("c1", 2, "user", "bye")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = render_conversations(df, role_col="role").collect()[0]
+    assert out["n_turns"] == 3
+    assert out["doc"] == "hi\nassistant: \nuser: bye"
+
+
+def test_boilerplate_null_text_not_dropped(spark):
+    """A null-text turn must still get a verdict (null == empty for the
+    rule); a NULL md5 join key would silently drop it."""
+    df = spark.createDataFrame(
+        [("c1", 0, "user", None), ("c2", 0, "user", ""), ("c3", 0, "user", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = turn_boilerplate(df, min_convs=3).collect()
+    assert len(out) == 3
+    by_key = {(r["conv_id"], r["turn_idx"]): r for r in out}
+    # null and empty text share a bucket: 2 distinct convs
+    assert by_key[("c1", 0)]["n_convs"] == 2
+    assert by_key[("c2", 0)]["n_convs"] == 2
+    assert by_key[("c3", 0)]["n_convs"] == 1
