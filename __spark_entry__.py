@@ -1615,6 +1615,56 @@ FROM ranked WHERE rn = 1 AND op <> 'd'
 """
 
 
+def q_corpus_view_replay(spark, sf_dir):
+    """Incrementally-maintained rendered-corpus view, oracle-checked end
+    to end (operators/corpus_view.py): the derived change feed is applied
+    to a primary transcript table in three MERGE batches, and after each
+    batch the view refreshes ONLY the touched conversations (bucket-
+    pruned read, O(changed) re-render, MERGE into the view table). The
+    DuckDB oracle is the full rebuild — fold + string_agg per
+    conversation — so hash equality proves the incremental maintenance
+    converges to the batch answer."""
+    from couch_to_mongo_spark.operators.corpus_view import RenderedCorpusView
+    from couch_to_mongo_spark.operators.merge import merge_batch, with_engine_schema
+    from couch_to_mongo_spark.tableformat import LakeTable
+    from pyspark.sql import types as T
+
+    ch = _derive_changes(_t(spark, sf_dir, "events"))
+    payload = T.StructType(
+        [f for f in ch.schema.fields if f.name not in ("seq", "op")]
+    )
+    work = tempfile.mkdtemp(prefix="c2m_cview_")
+    primary = LakeTable.create(
+        spark, os.path.join(work, "tbl"), with_engine_schema(payload), n_buckets=8
+    )
+    view = RenderedCorpusView(
+        spark, primary, os.path.join(work, "view"), n_buckets=4
+    )
+    n = ch.agg(F.max("seq")).first()[0] or 0
+    bounds = [-1, n // 3, (2 * n) // 3, n]
+    for i in range(3):
+        b = ch.where(
+            (F.col("seq") > bounds[i]) & (F.col("seq") <= bounds[i + 1])
+        )
+        merge_batch(primary, b, run_id="cv", batch_id=i, collect_stats=False)
+        view.refresh(
+            b.select("conv_id"), seq=bounds[i + 1], run_id="cv-view", batch_id=i
+        )
+    return view.read()
+
+
+SQL_CORPUS_VIEW = f"""
+WITH fold AS ({SQL_CDC_FOLD})
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(length(string_agg(text, chr(10) ORDER BY turn_idx)) AS BIGINT)
+         AS n_chars,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS doc
+FROM fold
+GROUP BY conv_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the CDC engine applied end-to-end on sf0.001."""
     return q_engine_replay(spark, "/root/testdata/sf0.001")
@@ -1676,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_train_encode": q_pq_train_encode,
         "multimodal_decode": q_multimodal_decode,
         "engine_replay": q_engine_replay,
+        "corpus_view_replay": q_corpus_view_replay,
     }
 
 
@@ -1737,4 +1788,6 @@ def oracle_sql() -> dict[str, str]:
         # round 2: the full engine path is oracle-checked too — final MOR
         # state after merge+compaction+tombstones IS SQL-expressible
         "engine_replay": SQL_ENGINE_REPLAY,
+        # round 5: incremental view maintenance vs the full-rebuild SQL
+        "corpus_view_replay": SQL_CORPUS_VIEW,
     }

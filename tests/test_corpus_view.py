@@ -1,0 +1,149 @@
+"""Incrementally-maintained rendered-corpus view (operators/corpus_view):
+after every batch the O(changed) refresh must equal a full re-render of
+the primary's live state; dead conversations vanish; replay is fenced."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import types as T
+
+from couch_to_mongo_spark.functions.transcripts import render_conversations
+from couch_to_mongo_spark.operators.corpus_view import RenderedCorpusView
+from couch_to_mongo_spark.operators.merge import (
+    merge_batch,
+    read_state,
+    with_engine_schema,
+)
+from couch_to_mongo_spark.tableformat import LakeTable
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def _batch(spark, rows, seq_start):
+    """rows: (conv_id, turn_idx, text, op) — seq assigned in order."""
+    return spark.createDataFrame(
+        [(c, t, x, o, seq_start + i) for i, (c, t, x, o) in enumerate(rows)],
+        "conv_id string, turn_idx int, text string, op string, seq long",
+    )
+
+
+def _full_rebuild(primary):
+    return {
+        r["conv_id"]: (r["n_turns"], r["n_chars"], r["doc"])
+        for r in render_conversations(read_state(primary)).collect()
+    }
+
+
+def _view_state(view):
+    return {
+        r["conv_id"]: (r["n_turns"], r["n_chars"], r["doc"])
+        for r in view.read().collect()
+    }
+
+
+def test_incremental_refresh_matches_full_rebuild(spark, tmp_path):
+    primary = LakeTable.create(
+        spark, str(tmp_path / "primary"), with_engine_schema(PAYLOAD), n_buckets=4
+    )
+    view = RenderedCorpusView(
+        spark, primary, str(tmp_path / "view"), n_buckets=2
+    )
+
+    batches = [
+        # batch 0: three conversations
+        [("a", 0, "a0", "u"), ("a", 1, "a1", "u"),
+         ("b", 0, "b0", "u"), ("c", 0, "c0", "u")],
+        # batch 1: update a turn, extend a conv, touch nothing in c
+        [("a", 1, "a1-v2", "u"), ("b", 1, "b1", "u")],
+        # batch 2: tombstone ALL of b's turns -> b must leave the view
+        [("b", 0, None, "d"), ("b", 1, None, "d"), ("c", 1, "c1", "u")],
+    ]
+    seq = 0
+    for i, rows in enumerate(batches):
+        b = _batch(spark, rows, seq)
+        seq += len(rows)
+        merge_batch(primary, b, run_id="r", batch_id=i)
+        res = view.refresh(
+            b.select("conv_id"), seq=seq - 1, run_id="view", batch_id=i
+        )
+        assert not res.skipped
+        assert _view_state(view) == _full_rebuild(primary)
+
+    final = _view_state(view)
+    assert "b" not in final
+    assert final["a"] == (2, len("a0\na1-v2"), "a0\na1-v2")
+    assert final["c"][2] == "c0\nc1"
+
+
+def test_refresh_replay_is_fenced(spark, tmp_path):
+    primary = LakeTable.create(
+        spark, str(tmp_path / "primary"), with_engine_schema(PAYLOAD), n_buckets=4
+    )
+    view = RenderedCorpusView(spark, primary, str(tmp_path / "view"), n_buckets=2)
+
+    b0 = _batch(spark, [("a", 0, "a0", "u"), ("b", 0, "b0", "u")], 0)
+    merge_batch(primary, b0, run_id="r", batch_id=0)
+    view.refresh(b0.select("conv_id"), seq=1, run_id="view", batch_id=0)
+    before = _view_state(view)
+
+    # replaying the SAME view batch is a fence no-op even if the primary
+    # has advanced meanwhile (crash-replay of the maintenance job)
+    b1 = _batch(spark, [("a", 1, "a1", "u")], 2)
+    merge_batch(primary, b1, run_id="r", batch_id=1)
+    res = view.refresh(b0.select("conv_id"), seq=1, run_id="view", batch_id=0)
+    assert res.skipped
+    assert _view_state(view) == before
+
+    # the NEXT batch id applies and reconverges
+    view.refresh(b1.select("conv_id"), seq=2, run_id="view", batch_id=1)
+    assert _view_state(view) == _full_rebuild(primary)
+
+
+def test_refresh_untouched_convs_not_reread(spark, tmp_path):
+    """The refresh's primary scan is bucket-pruned: a refresh for one
+    conversation must not read buckets that hold only other convs."""
+    primary = LakeTable.create(
+        spark, str(tmp_path / "primary"), with_engine_schema(PAYLOAD),
+        n_buckets=8,
+    )
+    view = RenderedCorpusView(spark, primary, str(tmp_path / "view"), n_buckets=2)
+    rows = [(f"conv{i}", t, f"x{i}.{t}", "u") for i in range(12) for t in range(3)]
+    b = _batch(spark, rows, 0)
+    merge_batch(primary, b, run_id="r", batch_id=0)
+    view.refresh(b.select("conv_id"), seq=len(rows) - 1, run_id="view", batch_id=0)
+
+    one = _batch(spark, [("conv3", 1, "updated", "u")], 100)
+    merge_batch(primary, one, run_id="r", batch_id=1)
+
+    from couch_to_mongo_spark.operators.corpus_view import read_state_of_buckets
+    from couch_to_mongo_spark.tableformat import bucket_expr
+    from pyspark.sql import functions as F
+
+    n_b = primary.snapshot(materialize=False).n_buckets
+    tb = [
+        r["b"]
+        for r in one.select(bucket_expr("conv_id", n_b).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    pruned = read_state_of_buckets(primary, tb)
+    convs_in_pruned = {
+        r["conv_id"] for r in pruned.select("conv_id").distinct().collect()
+    }
+    # the pruned read sees conv3's bucket only — strictly fewer convs
+    # than the table (hash spreading 12 convs over 8 buckets)
+    assert "conv3" in convs_in_pruned
+    assert len(convs_in_pruned) < 12
+
+    view.refresh(one.select("conv_id"), seq=100, run_id="view", batch_id=1)
+    assert _view_state(view) == _full_rebuild(primary)
