@@ -76,6 +76,7 @@ class RenderedCorpusView:
         seq: int,
         run_id: str = "corpus_view",
         batch_id: int = 0,
+        broadcast_convs: bool = True,
     ) -> MergeResult:
         """Re-render exactly the conversations in ``changed_convs`` (any
         DataFrame with a conv_id column; deduped here) as of the
@@ -85,7 +86,12 @@ class RenderedCorpusView:
 
         Conversations that end up with NO live turns (fully tombstoned)
         get a delete row — the view never serves a stale doc for a dead
-        conversation."""
+        conversation.
+
+        ``broadcast_convs`` forces the semi-join's build side broadcast —
+        right for the normal micro-batch regime (changed convs ≪ corpus).
+        Set False for giant catch-up batches whose distinct-conv set
+        won't fit an executor; the semi-join then shuffles both sides."""
         convs = changed_convs.select("conv_id").distinct()
         # bounded driver collect: touched conv ids -> touched bucket ids
         # (<= n_buckets ints), the same O(touched) contract merge itself
@@ -98,7 +104,8 @@ class RenderedCorpusView:
             ).distinct().collect()
         ]
         state = read_state_of_buckets(self.primary, touched)
-        live = state.join(F.broadcast(convs), "conv_id", "left_semi")
+        build = F.broadcast(convs) if broadcast_convs else convs
+        live = state.join(build, "conv_id", "left_semi")
         rendered = render_conversations(live, **self.render_opts)
         upserts = rendered.select(
             "conv_id",

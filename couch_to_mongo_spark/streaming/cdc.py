@@ -98,6 +98,8 @@ class CdcPipeline:
         quarantine_poison: bool = False,
         transform_kernel=None,
         emit_cdf: bool = False,
+        maintain_view: str | None = None,
+        view_render_opts: dict | None = None,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -138,6 +140,24 @@ class CdcPipeline:
 
         self.run_id = _pin_run_id(checkpoint_dir)
         self.table = self._ensure_table()
+        # maintain_view: keep a rendered-conversation corpus table fresh —
+        # after each merged batch, re-render ONLY the touched conversations
+        # into the derived LakeTable at this path (O(changed) per batch).
+        # The refresh runs on fenced replays too: its own fence decides, so
+        # a crash between primary commit and view refresh self-heals.
+        self.view = None
+        if maintain_view is not None:
+            from couch_to_mongo_spark.operators.corpus_view import (
+                RenderedCorpusView,
+            )
+
+            self.view = RenderedCorpusView(
+                spark,
+                self.table,
+                maintain_view,
+                n_buckets=n_buckets,
+                **(view_render_opts or {}),
+            )
         self.lineage = LineageLog(os.path.join(table_path, "_lineage"))
         self.feed_schema: T.StructType | None = None
         self.batches_applied = 0
@@ -205,8 +225,10 @@ class CdcPipeline:
             # batch's lineage row; the fenced replay backfills it from the
             # committed snapshot's lineage (which stores the MergeResult)
             self._backfill_lineage(batch_id)
+            self._refresh_view(batch_df, batch_id, res)
             return
         self.batches_applied += 1
+        self._refresh_view(batch_df, batch_id, res)
         self._maybe_compact()
         self.lineage.append(
             self.run_id,
@@ -219,6 +241,25 @@ class CdcPipeline:
             n_deletes=res.n_deletes,
             snapshot_id=res.snapshot_id,
             partition_stats={"touched_buckets": res.touched_buckets, "n_poison": res.n_poison},
+        )
+
+    def _refresh_view(self, batch_df: DataFrame, batch_id: int, res) -> None:
+        """Refresh the maintained corpus view for this batch's touched
+        conversations. Stamped with the batch's max seq (from lineage
+        stats when collected, else one bounded agg); runs under the
+        pipeline run_id so the view's fences track the primary's."""
+        if self.view is None:
+            return
+        seq_max = getattr(res, "seq_max", None)
+        if seq_max is None:
+            seq_max = batch_df.agg(F.max("seq")).first()[0]
+        if seq_max is None:  # empty batch: nothing touched
+            return
+        self.view.refresh(
+            batch_df.select("conv_id"),
+            seq=int(seq_max),
+            run_id=self.run_id,
+            batch_id=batch_id,
         )
 
     def _batch_input_files(self, batch_df: DataFrame, batch_id: int) -> list[str]:

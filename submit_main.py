@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-stats", action="store_true")
     p.add_argument("--emit-cdf", action="store_true",
                    help="write the row-level change feed per batch")
+    p.add_argument("--maintain-view", default=None, metavar="PATH",
+                   help="keep a rendered-conversation corpus table fresh "
+                        "at PATH (O(touched convs) refresh per batch)")
 
     p = sub.add_parser("tail", help="continuous CDC tail")
     p.add_argument("--table", required=True)
@@ -67,6 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--emit-cdf", action="store_true",
                    help="write the row-level change feed per batch")
+    p.add_argument("--maintain-view", default=None, metavar="PATH",
+                   help="keep a rendered-conversation corpus table fresh "
+                        "at PATH (O(touched convs) refresh per batch)")
 
     p = sub.add_parser("compact", help="fold MOR delta files")
     p.add_argument("--table", required=True)
@@ -161,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
             since_seq=getattr(args, "since_seq", None),
             collect_stats=not getattr(args, "no_stats", False),
             emit_cdf=getattr(args, "emit_cdf", False),
+            maintain_view=getattr(args, "maintain_view", None),
         )
         if args.cmd == "replay":
             pipe.run_available()

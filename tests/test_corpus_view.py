@@ -147,3 +147,51 @@ def test_refresh_untouched_convs_not_reread(spark, tmp_path):
 
     view.refresh(one.select("conv_id"), seq=100, run_id="view", batch_id=1)
     assert _view_state(view) == _full_rebuild(primary)
+
+
+def test_pipeline_maintains_corpus_view(spark, tmp_path):
+    """CdcPipeline(maintain_view=...): after the stream drains, the view
+    equals a full re-render of the live state; a crash-replay under the
+    same checkpoint fences every batch and leaves the view converged."""
+    from couch_to_mongo_spark.gen import generate_changes
+    from couch_to_mongo_spark.streaming.cdc import CdcPipeline
+
+    generate_changes(
+        str(tmp_path / "changes"), n_events=1200, n_convs=12, seed=74, n_files=3
+    )
+    kw = dict(
+        table_path=str(tmp_path / "table"),
+        changes_dir=str(tmp_path / "changes"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4,
+        max_files_per_trigger=1,
+        maintain_view=str(tmp_path / "view"),
+    )
+    pipe = CdcPipeline(spark, **kw).run_available()
+    assert pipe.batches_applied >= 3
+
+    expected = {
+        r["conv_id"]: (r["n_turns"], r["doc"])
+        for r in render_conversations(read_state(pipe.table)).collect()
+    }
+    got = {
+        r["conv_id"]: (r["n_turns"], r["doc"])
+        for r in pipe.view.read().collect()
+    }
+    assert got == expected
+
+    # same checkpoint: the file source redelivers nothing (source-level
+    # exactly-once) — zero batches, view untouched
+    pipe2 = CdcPipeline(spark, **kw).run_available()
+    assert pipe2.batches_applied == 0 and pipe2.batches_fenced == 0
+
+    # cross-run re-application (new checkpoint -> new run id, same
+    # events): primary AND view reconverge by LWW on the same seqs
+    kw3 = dict(kw, checkpoint_dir=str(tmp_path / "ckpt2"))
+    pipe3 = CdcPipeline(spark, **kw3).run_available()
+    assert pipe3.batches_applied >= 3
+    got3 = {
+        r["conv_id"]: (r["n_turns"], r["doc"])
+        for r in pipe3.view.read().collect()
+    }
+    assert got3 == expected
