@@ -152,6 +152,9 @@ SF1_HEADLINE = [
     # sf0.1, so these times are NOT comparable to rounds <= 3)
     "neardup_cosine", "neardup_cosine_blas", "embedding_dedup_groups",
     "embedding_dedup_groups_lsh", "ivf_train_assign",
+    # r5 transcript family at 10x events: conversation fold + the full
+    # fold->render->pack chain
+    "render_conversations", "conversation_pack",
 ]
 # the expression-join exact pair baseline costs ~2 min at sf1 (which is
 # the point — neardup_cosine_blas is the same pairs at ~1 s); one pass

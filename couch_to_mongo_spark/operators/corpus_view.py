@@ -136,6 +136,16 @@ class RenderedCorpusView:
             collect_stats=False,
         )
 
+    def maybe_compact(self, max_files_per_bucket: int = 8) -> dict:
+        """Fold view buckets holding more than ``max_files_per_bucket``
+        MOR delta files (each refresh appends one delta per touched
+        bucket — unbounded without this). Same rewrite-files kernel as
+        the primary; the view is a plain LakeTable, so `submit_main
+        compact/vacuum --table <view_path>` also work on it."""
+        from couch_to_mongo_spark.operators.compact import compact
+
+        return compact(self.view, max_files_per_bucket=max_files_per_bucket)
+
     # -- reads --------------------------------------------------------
 
     def read(self) -> DataFrame:

@@ -261,6 +261,11 @@ class CdcPipeline:
             run_id=self.run_id,
             batch_id=batch_id,
         )
+        # every refresh appends one MOR delta per touched view bucket —
+        # fold them with the same threshold the primary compacts at
+        # (metadata-only no-op while all buckets are under it)
+        if self.compact_threshold:
+            self.view.maybe_compact(self.compact_threshold)
 
     def _batch_input_files(self, batch_df: DataFrame, batch_id: int) -> list[str]:
         """The micro-batch's input files. Primary source: the file-stream

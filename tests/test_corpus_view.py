@@ -195,3 +195,24 @@ def test_pipeline_maintains_corpus_view(spark, tmp_path):
         for r in pipe3.view.read().collect()
     }
     assert got3 == expected
+
+
+def test_view_compaction_bounds_delta_files(spark, tmp_path):
+    """Each refresh appends MOR deltas to the view; the wired compaction
+    must keep per-bucket file counts bounded across many batches."""
+    primary = LakeTable.create(
+        spark, str(tmp_path / "primary"), with_engine_schema(PAYLOAD), n_buckets=2
+    )
+    view = RenderedCorpusView(spark, primary, str(tmp_path / "view"), n_buckets=1)
+    seq = 0
+    for i in range(10):
+        rows = [("a", t, f"v{i}.{t}", "u") for t in range(3)]
+        b = _batch(spark, rows, seq)
+        seq += len(rows)
+        merge_batch(primary, b, run_id="r", batch_id=i)
+        view.refresh(b.select("conv_id"), seq=seq - 1, run_id="view", batch_id=i)
+        view.maybe_compact(max_files_per_bucket=3)
+    snap = view.view.snapshot()
+    per_bucket = {b: len(fl) for b, fl in snap.files.items()}
+    assert max(per_bucket.values()) <= 4  # threshold + in-flight delta
+    assert _view_state(view) == _full_rebuild(primary)
