@@ -92,6 +92,23 @@ class RenderedCorpusView:
         right for the normal micro-batch regime (changed convs ≪ corpus).
         Set False for giant catch-up batches whose distinct-conv set
         won't fit an executor; the semi-join then shuffles both sides."""
+        return merge_batch(
+            self.view,
+            self.plan_refresh(changed_convs, seq, broadcast_convs),
+            run_id=run_id,
+            batch_id=batch_id,
+            collect_stats=False,
+        )
+
+    def plan_refresh(
+        self,
+        changed_convs: DataFrame,
+        seq: int,
+        broadcast_convs: bool = True,
+    ) -> DataFrame:
+        """The refresh batch as a DataFrame (upserts + tombstones), before
+        the MERGE — separated so tests can plan-assert the bucket-pruned,
+        broadcast-semi-join, single-render-shuffle shape."""
         convs = changed_convs.select("conv_id").distinct()
         # bounded driver collect: touched conv ids -> touched bucket ids
         # (<= n_buckets ints), the same O(touched) contract merge itself
@@ -128,13 +145,7 @@ class RenderedCorpusView:
                 F.lit(int(seq)).alias("seq"),
             )
         )
-        return merge_batch(
-            self.view,
-            upserts.unionByName(deletes),
-            run_id=run_id,
-            batch_id=batch_id,
-            collect_stats=False,
-        )
+        return upserts.unionByName(deletes)
 
     def maybe_compact(self, max_files_per_bucket: int = 8) -> dict:
         """Fold view buckets holding more than ``max_files_per_bucket``

@@ -224,3 +224,44 @@ def test_boilerplate_turns_no_cartesian_bounded_shuffles(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert count_exchanges(df) <= 4, plan
+
+
+def test_corpus_view_refresh_plan_shape(spark, tmp_path):
+    """The view refresh must be the O(changed) shape: broadcast semi-join
+    against the changed-conv set, no cartesian, and a scan limited to the
+    touched buckets' files (bucket pruning happens at file-list level, so
+    the parquet scan must name fewer files than the table holds)."""
+    from pyspark.sql import types as T
+
+    from couch_to_mongo_spark.operators.corpus_view import RenderedCorpusView
+    from couch_to_mongo_spark.operators.merge import merge_batch, with_engine_schema
+    from couch_to_mongo_spark.tableformat import LakeTable
+
+    payload = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    primary = LakeTable.create(
+        spark, str(tmp_path / "p"), with_engine_schema(payload), n_buckets=8
+    )
+    rows = [(f"c{i}", t, f"x{i}", "u", i * 4 + t) for i in range(16) for t in range(4)]
+    b = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, op string, seq long"
+    )
+    merge_batch(primary, b, run_id="r", batch_id=0)
+
+    view = RenderedCorpusView(spark, primary, str(tmp_path / "v"), n_buckets=2)
+    one = spark.createDataFrame([("c3",)], "conv_id string")
+    plan_df = view.plan_refresh(one, seq=99)
+    plan = formatted_plan(plan_df)
+    assert has_broadcast_hash_join(plan_df), plan
+    assert "CartesianProduct" not in plan, plan
+    # file-level pruning: c3 hashes to ONE of 8 buckets; the plan's scans
+    # must not read all 8 buckets' files
+    total_files = len(primary.snapshot().all_files())
+    import re as _re
+
+    counts = [int(m) for m in _re.findall(r"number of files: (\d+)", plan)]
+    if counts:  # formatted plans include per-scan file counts
+        assert max(counts) < total_files, (counts, total_files, plan)
