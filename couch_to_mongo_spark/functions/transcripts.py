@@ -27,6 +27,7 @@ def render_conversations(
     turn_col: str = "turn_idx",
     text_col: str = "text",
     role_col: str | None = None,
+    tool_col: str | None = None,
     sep: str = "\n",
     max_turns: int | None = None,
     keep: str = "last",
@@ -59,6 +60,8 @@ def render_conversations(
     fields = [F.col(turn_col).cast("int").alias("_t")]
     if role_col is not None:
         fields.append(F.col(role_col).alias("_r"))
+    if tool_col is not None:
+        fields.append(F.col(tool_col).alias("_tool"))
     fields.append(F.col(text_col).alias("_x"))
     agg = df.groupBy(F.col(conv_col)).agg(
         F.array_sort(F.collect_list(F.struct(*fields))).alias("_turns")
@@ -76,20 +79,31 @@ def render_conversations(
             )
         )
         agg = agg.select(F.col(conv_col), sliced.alias("_turns"))
-    # null-safe: array_join silently DROPS null elements, so a null role
-    # or text must degrade to the non-null parts, never lose the turn
-    if role_col is not None:
-        rendered = F.transform(
-            F.col("_turns"),
-            lambda t: F.concat(
-                F.coalesce(F.concat(t["_r"], F.lit(": ")), F.lit("")),
-                F.coalesce(t["_x"], F.lit("")),
-            ),
-        )
-    else:
-        rendered = F.transform(
-            F.col("_turns"), lambda t: F.coalesce(t["_x"], F.lit(""))
-        )
+    # null-safe: array_join silently DROPS null elements, so a null role/
+    # tool/text must degrade to the non-null parts, never lose the turn.
+    # tool_col marks tool-call turns "role [tool]: text" (null tool = a
+    # plain turn, no brackets).
+    def _render_turn(t):
+        parts = []
+        if role_col is not None and tool_col is not None:
+            parts.append(
+                F.coalesce(
+                    F.concat(t["_r"], F.lit(" ["), t["_tool"], F.lit("]: ")),
+                    F.concat(t["_r"], F.lit(": ")),
+                    F.concat(F.lit("["), t["_tool"], F.lit("]: ")),
+                    F.lit(""),
+                )
+            )
+        elif role_col is not None:
+            parts.append(F.coalesce(F.concat(t["_r"], F.lit(": ")), F.lit("")))
+        elif tool_col is not None:
+            parts.append(
+                F.coalesce(F.concat(F.lit("["), t["_tool"], F.lit("]: ")), F.lit(""))
+            )
+        parts.append(F.coalesce(t["_x"], F.lit("")))
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    rendered = F.transform(F.col("_turns"), _render_turn)
     return agg.select(
         F.col(conv_col),
         F.size(F.col("_turns")).cast("long").alias("n_turns"),

@@ -112,6 +112,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sep", default="\n")
     p.add_argument("--no-roles", action="store_true",
                    help="render bare turn text without 'role: ' tags")
+    p.add_argument("--tool-tags", action="store_true",
+                   help="mark tool-call turns 'role [tool]: text' (uses "
+                        "the state's tool column)")
     p.add_argument("--max-turns", type=int, default=None,
                    help="context-window truncation (keeps --keep side)")
     p.add_argument("--keep", choices=["first", "last"], default="last")
@@ -214,9 +217,13 @@ def main(argv: list[str] | None = None) -> int:
             ).where("keep").select("conv_id", "turn_idx")
             state = state.join(verdicts, ["conv_id", "turn_idx"], "left_semi")
         role_col = None if args.no_roles or "role" not in state.columns else "role"
+        tool_col = (
+            "tool" if args.tool_tags and "tool" in state.columns else None
+        )
         docs = render_conversations(
             state,
             role_col=role_col,
+            tool_col=tool_col,
             sep=args.sep,
             max_turns=args.max_turns,
             keep=args.keep,

@@ -171,3 +171,21 @@ def test_boilerplate_null_text_not_dropped(spark):
     assert by_key[("c1", 0)]["n_convs"] == 2
     assert by_key[("c2", 0)]["n_convs"] == 2
     assert by_key[("c3", 0)]["n_convs"] == 1
+
+
+def test_render_tool_tags(spark):
+    """tool_col marks tool-call turns 'role [tool]: text'; null tool is a
+    plain turn; null role still keeps the tool tag."""
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", None, "run it"),
+            ("c1", 1, "assistant", "bash", "ls -la"),
+            ("c1", 2, None, "bash", "output"),
+        ],
+        "conv_id string, turn_idx int, role string, tool string, text string",
+    )
+    out = render_conversations(df, role_col="role", tool_col="tool").collect()[0]
+    assert out["doc"] == "user: run it\nassistant [bash]: ls -la\n[bash]: output"
+    # tool-only tagging
+    out2 = render_conversations(df, tool_col="tool").collect()[0]
+    assert out2["doc"] == "run it\n[bash]: ls -la\n[bash]: output"
