@@ -620,7 +620,12 @@ def q_topk_per_group(spark, sf_dir):
     return (
         j.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
-        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+        .select(
+            "c_mktsegment",
+            F.col("rk").cast("long").alias("rk"),
+            "o_orderkey",
+            "o_totalprice",
+        )
     )
 
 
@@ -1382,7 +1387,8 @@ def q_ivf_assign(spark, sf_dir):
     """IVF coarse quantizer (functions/vectors.py ivf_assign): every vector
     assigned to its nearest of 8 deterministic centroids — the inverted-list
     partition key of the IVF ANN scale path."""
-    return V.ivf_assign(_t(spark, sf_dir, "embeddings"), n_centroids=8)
+    out = V.ivf_assign(_t(spark, sf_dir, "embeddings"), n_centroids=8)
+    return out.withColumn("centroid_id", F.col("centroid_id").cast("long"))
 
 
 SQL_IVF_ASSIGN = """
@@ -1408,7 +1414,8 @@ def q_ivf_train_assign(spark, sf_dir):
     not just the plan skeleton."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = V.kmeans_train(emb, k=8, n_iters=3)
-    return V.ivf_assign(emb, centroids=cents)
+    out = V.ivf_assign(emb, centroids=cents)
+    return out.withColumn("centroid_id", F.col("centroid_id").cast("long"))
 
 
 def _ivf_train_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:

@@ -429,7 +429,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
     return d.select(
         F.col(id_col),
-        n_chars.alias("n_chars_m"),
+        n_chars.cast("long").alias("n_chars_m"),
         n_tok.alias("n_tokens"),
         F.round(n_punct / n_chars, 6).alias("punct_ratio"),
         F.round(n_digit / n_chars, 6).alias("digit_ratio"),
