@@ -36,6 +36,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_SCRATCH_ROOTS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Process-lifetime scratch dir for the engine-replay entries. The
+    returned DataFrames lazily read these tables, so the dirs can't be
+    removed when the query function returns — they're reaped atexit
+    instead (each bench/oracle pass used to leak a table-sized /tmp dir
+    per invocation)."""
+    work = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_ROOTS:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_ROOTS]
+        )
+    _SCRATCH_ROOTS.append(work)
+    return work
+
+
 def _epoch(col):
     """NTZ-safe epoch seconds: the driver's session may read naive parquet
     timestamps as TIMESTAMP_NTZ (we disable that inference in our own
@@ -345,9 +366,11 @@ SQL_RENDER_CONV = f"""
 WITH r AS ({_SQL_FOLD_ROLE})
 SELECT conv_id,
        CAST(count(*) AS BIGINT) AS n_turns,
-       CAST(length(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx))
+       CAST(length(string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                              ORDER BY turn_idx))
             AS BIGINT) AS n_chars,
-       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+       string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                  ORDER BY turn_idx) AS doc
 FROM r
 GROUP BY conv_id
 """
@@ -369,12 +392,12 @@ def q_boilerplate_turns(spark, sf_dir):
 
 SQL_BOILERPLATE = f"""
 WITH fold AS ({SQL_CDC_FOLD}),
-c AS (SELECT md5(text) AS h,
+c AS (SELECT md5(coalesce(text, '')) AS h,
              CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
       FROM fold GROUP BY 1)
 SELECT f.conv_id, f.turn_idx, c.n_convs,
        c.n_convs < {BOILERPLATE_MIN_CONVS} AS keep
-FROM fold f JOIN c ON md5(f.text) = c.h
+FROM fold f JOIN c ON md5(coalesce(f.text, '')) = c.h
 """
 
 
@@ -1110,7 +1133,8 @@ SELECT d.doc_id,
          [CASE WHEN list_contains(coalesce(mp.mask, []), i)
                THEN '<extra_id_0>' ELSE d.tk[i] END
           FOR i IN generate_series(1, len(d.tk))], ' ') AS masked_text,
-       CAST(len(coalesce(mp.mask, [])) AS BIGINT) AS n_masked
+       CAST(len(list_filter(coalesce(mp.mask, []), p -> p <= len(d.tk)))
+            AS BIGINT) AS n_masked
 FROM d LEFT JOIN mp ON d.doc_id = mp.doc_id
 """
 
@@ -1597,7 +1621,7 @@ def q_engine_replay(spark, sf_dir):
     payload = T.StructType(
         [f for f in ch.schema.fields if f.name not in ("seq", "op")]
     )
-    work = tempfile.mkdtemp(prefix="c2m_entry_")
+    work = _scratch_dir("c2m_entry_")
     table = LakeTable.create(
         spark, os.path.join(work, "tbl"), with_engine_schema(payload), n_buckets=8
     )
@@ -1640,7 +1664,7 @@ def q_corpus_view_replay(spark, sf_dir):
     payload = T.StructType(
         [f for f in ch.schema.fields if f.name not in ("seq", "op")]
     )
-    work = tempfile.mkdtemp(prefix="c2m_cview_")
+    work = _scratch_dir("c2m_cview_")
     primary = LakeTable.create(
         spark, os.path.join(work, "tbl"), with_engine_schema(payload), n_buckets=8
     )
@@ -1664,9 +1688,9 @@ SQL_CORPUS_VIEW = f"""
 WITH fold AS ({SQL_CDC_FOLD})
 SELECT conv_id,
        CAST(count(*) AS BIGINT) AS n_turns,
-       CAST(length(string_agg(text, chr(10) ORDER BY turn_idx)) AS BIGINT)
-         AS n_chars,
-       string_agg(text, chr(10) ORDER BY turn_idx) AS doc
+       CAST(length(string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx))
+            AS BIGINT) AS n_chars,
+       string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS doc
 FROM fold
 GROUP BY conv_id
 """

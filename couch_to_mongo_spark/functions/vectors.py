@@ -818,12 +818,17 @@ def kmeans_train_gemm(
         )
         dim = cents.shape[1]
 
-        def make_gen(C):
-            cnorm2 = (C * C).sum(axis=1)
-
+        def make_gen(bc):
+            # the centroid matrix ships as a SparkContext.broadcast (one
+            # torrent transfer per iteration, cached per executor), NOT a
+            # closure capture — at the operator's 10^5-list regime a
+            # captured k x dim float64 array is a ~50 MB pickled task
+            # payload re-shipped per stage. Only the handle is captured.
             def gen(batches):
                 import pandas as pd
 
+                C = np.asarray(bc.value)
+                cnorm2 = (C * C).sum(axis=1)
                 for pdf in batches:
                     V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
                     d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cnorm2[None, :]
@@ -851,9 +856,11 @@ def kmeans_train_gemm(
             fold == "auto"
             and base.rdd.getNumPartitions() * k * dim > GEMM_TREE_FOLD_THRESHOLD
         )
+        sc = df.sparkSession.sparkContext
         for _ in range(n_iters):
+            bc = sc.broadcast(cents)
             part_df = base.mapInPandas(
-                make_gen(cents), "_c int, _n bigint, _s array<double>"
+                make_gen(bc), "_c int, _n bigint, _s array<double>"
             )
             tot_n = np.zeros(k, dtype=np.int64)
             tot_s = np.zeros((k, dim))
@@ -872,6 +879,7 @@ def kmeans_train_gemm(
                 for r in part_df.collect():
                     tot_n[r["_c"]] += r["_n"]
                     tot_s[r["_c"]] += np.asarray(r["_s"])
+            bc.unpersist()  # the iteration's jobs have all run (collect above)
             new = cents.copy()
             nz = tot_n > 0
             new[nz] = np.round(tot_s[nz] / tot_n[nz, None], round_to)

@@ -110,6 +110,13 @@ class RenderedCorpusView:
         the MERGE — separated so tests can plan-assert the bucket-pruned,
         broadcast-semi-join, single-render-shuffle shape."""
         convs = changed_convs.select("conv_id").distinct()
+        if not broadcast_convs:
+            # the conv set feeds THREE consumers (bucket-id collect, semi-
+            # join build, delete anti-join probe) and exchange reuse dies
+            # across differently-pruned branches — broadcast dedups the
+            # derivation implicitly, but a giant non-broadcast catch-up set
+            # would re-shuffle the distinct three times. Materialize once.
+            convs = convs.localCheckpoint(eager=True)
         # bounded driver collect: touched conv ids -> touched bucket ids
         # (<= n_buckets ints), the same O(touched) contract merge itself
         # makes. The conv list itself stays distributed.
@@ -146,6 +153,49 @@ class RenderedCorpusView:
             )
         )
         return upserts.unionByName(deletes)
+
+    def catch_up(
+        self,
+        run_id: str = "corpus_view",
+        batch_id: int | None = None,
+        broadcast_convs: bool = True,
+    ) -> MergeResult | None:
+        """Deferred-maintenance refresh: bring the view up to the primary's
+        CURRENT snapshot without per-batch conv sets. The changed-conv set
+        is derived from the primary table itself — files whose per-file
+        ``_seq`` bounds exceed the view's high-water stamp (metadata-only
+        pruning, O(new files) scan) — so any number of un-refreshed
+        batches, including batches a crashed run merged but never
+        refreshed, are covered by construction. Idempotent: re-running
+        with the same primary state re-renders the same convs with the
+        same stamp and LWW converges; a no-op (primary hwm <= view hwm)
+        returns None without committing.
+
+        The view's high-water mark is recovered from its own manifests
+        (every refresh stamps rows with the primary's max seq), so
+        catch-up needs no driver-side state — the crash-safe property the
+        deferred mode rests on. ``batch_id=None`` (default) fences the
+        commit at the primary's seq high-water: monotonic across
+        catch-ups, recoverable after a crash (unlike a driver counter),
+        and never colliding with a per-batch refresh fence as long as
+        catch-ups run under their own run_id (CdcPipeline uses
+        ``<run_id>:catchup``)."""
+        primary_hwm = self.primary.seq_high_water()
+        if primary_hwm is None:
+            return None  # empty primary: nothing to render
+        view_hwm = self.view.seq_high_water()
+        if view_hwm is not None and primary_hwm <= view_hwm:
+            return None  # view already current
+        new_rows = self.primary.read(
+            min_seq=(view_hwm + 1) if view_hwm is not None else None
+        )
+        return self.refresh(
+            new_rows.select("conv_id"),
+            seq=primary_hwm,
+            run_id=run_id,
+            batch_id=int(primary_hwm) if batch_id is None else batch_id,
+            broadcast_convs=broadcast_convs,
+        )
 
     def maybe_compact(self, max_files_per_bucket: int = 8) -> dict:
         """Fold view buckets holding more than ``max_files_per_bucket``

@@ -100,6 +100,7 @@ class CdcPipeline:
         emit_cdf: bool = False,
         maintain_view: str | None = None,
         view_render_opts: dict | None = None,
+        view_refresh_every: int = 1,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -115,6 +116,7 @@ class CdcPipeline:
         self.compact_threshold = compact_threshold
         self.compact_async = compact_async
         self.compactions = 0
+        self.view_compactions = 0
         self._compact_thread = None
         self._compact_error: BaseException | None = None
 
@@ -145,7 +147,15 @@ class CdcPipeline:
         # into the derived LakeTable at this path (O(changed) per batch).
         # The refresh runs on fenced replays too: its own fence decides, so
         # a crash between primary commit and view refresh self-heals.
+        # view_refresh_every=K > 1 DEFERS maintenance off the ingest
+        # critical path: the view catches up every K batches (and at end of
+        # run) from the primary's own per-file _seq bounds instead of
+        # per-batch conv sets — a crash between primary commits and the
+        # deferred refresh converges on the next catch-up by construction
+        # (corpus_view.catch_up recovers the floor from view manifests).
         self.view = None
+        self.view_refresh_every = max(int(view_refresh_every), 1)
+        self._last_batch_id: int | None = None
         if maintain_view is not None:
             from couch_to_mongo_spark.operators.corpus_view import (
                 RenderedCorpusView,
@@ -247,8 +257,22 @@ class CdcPipeline:
         """Refresh the maintained corpus view for this batch's touched
         conversations. Stamped with the batch's max seq (from lineage
         stats when collected, else one bounded agg); runs under the
-        pipeline run_id so the view's fences track the primary's."""
+        pipeline run_id so the view's fences track the primary's.
+
+        With ``view_refresh_every=K > 1`` the per-batch refresh is
+        skipped; every K-th batch triggers a catch-up that derives the
+        accumulated changed-conv set from the primary's per-file _seq
+        bounds (O(new files)). The remainder is flushed by
+        :meth:`finish_maintenance`. View-delta compaction is handled by
+        :meth:`_maybe_compact` (async by default), NOT inline here — view
+        render latency is on the ingest critical path, bucket rewrites
+        must not be."""
         if self.view is None:
+            return
+        self._last_batch_id = batch_id
+        if self.view_refresh_every > 1:
+            if (batch_id + 1) % self.view_refresh_every == 0:
+                self.view.catch_up(run_id=f"{self.run_id}:catchup")
             return
         seq_max = getattr(res, "seq_max", None)
         if seq_max is None:
@@ -261,11 +285,6 @@ class CdcPipeline:
             run_id=self.run_id,
             batch_id=batch_id,
         )
-        # every refresh appends one MOR delta per touched view bucket —
-        # fold them with the same threshold the primary compacts at
-        # (metadata-only no-op while all buckets are under it)
-        if self.compact_threshold:
-            self.view.maybe_compact(self.compact_threshold)
 
     def _batch_input_files(self, batch_df: DataFrame, batch_id: int) -> list[str]:
         """The micro-batch's input files. Primary source: the file-stream
@@ -305,25 +324,35 @@ class CdcPipeline:
         ran it inline — a compaction outliving the trigger interval stalls
         the stream). The rewrite-files commit rebases under concurrent
         merges, so the racing thread is safe; at most one compaction runs
-        at a time."""
-        if self.mode != "mor" or not self.compact_threshold:
+        at a time. The maintained view's MOR deltas (one per touched view
+        bucket per refresh — unbounded without folding) compact in the
+        same guarded pass: view refreshes always merge in MOR mode, so
+        the view leg is gated on compact_threshold only, not the
+        primary's mode."""
+        do_primary = self.mode == "mor" and bool(self.compact_threshold)
+        do_view = self.view is not None and bool(self.compact_threshold)
+        if not (do_primary or do_view):
             return
-        if not self.compact_async:
-            from couch_to_mongo_spark.operators.compact import compact
+        from couch_to_mongo_spark.operators.compact import compact
 
-            if compact(self.table, max_files_per_bucket=self.compact_threshold):
+        def work():
+            if do_primary and compact(
+                self.table, max_files_per_bucket=self.compact_threshold
+            ):
                 self.compactions += 1
+            if do_view and self.view.maybe_compact(self.compact_threshold):
+                self.view_compactions += 1
+
+        if not self.compact_async:
+            work()
             return
         if self._compact_thread is not None and self._compact_thread.is_alive():
             return
         import threading
 
-        from couch_to_mongo_spark.operators.compact import compact
-
         def run():
             try:
-                if compact(self.table, max_files_per_bucket=self.compact_threshold):
-                    self.compactions += 1
+                work()
             except BaseException as e:  # surfaced on join
                 self._compact_error = e
 
@@ -331,13 +360,20 @@ class CdcPipeline:
         self._compact_thread.start()
 
     def finish_maintenance(self) -> None:
-        """Join any in-flight async compaction (call after a run drains)."""
+        """Join any in-flight async compaction and flush a deferred view
+        to the primary's current snapshot (call after a run drains)."""
         if self._compact_thread is not None:
             self._compact_thread.join()
             self._compact_thread = None
         if self._compact_error is not None:
             err, self._compact_error = self._compact_error, None
             raise err
+        if self.view is not None and self.view_refresh_every > 1:
+            # no-op (None, no commit) when the last modulo trigger already
+            # caught up; otherwise covers every batch since the view's
+            # high-water stamp, crashed-run leftovers included. Fenced at
+            # the primary's seq hwm under the dedicated catch-up run key.
+            self.view.catch_up(run_id=f"{self.run_id}:catchup")
 
     def _backfill_lineage(self, batch_id: int) -> None:
         if self.lineage.has(self.run_id, batch_id):

@@ -467,6 +467,19 @@ class LakeTable:
         st = snap.file_stats.get(relpath)
         return None if not st else st[2]
 
+    def seq_high_water(self, version: int | None = None) -> int | None:
+        """Max ``_seq`` upper bound across the snapshot's live files —
+        metadata-only (manifest per-file stats, no scan). None when the
+        table is empty or no file carries seq stats. Files without stats
+        are skipped, which can only UNDER-estimate — callers using this
+        as an incremental floor (corpus-view catch-up) then re-process a
+        little, never miss anything."""
+        snap = self.snapshot(version)
+        maxes = [
+            st[2] for st in snap.file_stats.values() if st and st[2] is not None
+        ]
+        return max(maxes) if maxes else None
+
     def files_pruned_by_seq(self, min_seq: int, version: int | None = None) -> tuple[int, int]:
         """(files_read, files_total) a min_seq read would scan — pruning
         observability for tests and ops."""

@@ -197,6 +197,89 @@ def test_pipeline_maintains_corpus_view(spark, tmp_path):
     assert got3 == expected
 
 
+def test_deferred_catch_up_converges_and_is_idempotent(spark, tmp_path):
+    """corpus_view.catch_up: primary batches merged with NO per-batch view
+    refresh (the crashed-deferred-maintenance state) must converge to the
+    full rebuild in one metadata-floored catch-up; a second catch-up with
+    an unchanged primary is a no-op that commits nothing."""
+    primary = LakeTable.create(
+        spark, str(tmp_path / "primary"), with_engine_schema(PAYLOAD), n_buckets=4
+    )
+    view = RenderedCorpusView(spark, primary, str(tmp_path / "view"), n_buckets=2)
+
+    seq = 0
+    for i, rows in enumerate(
+        [
+            [("a", 0, "a0", "u"), ("b", 0, "b0", "u"), ("c", 0, "c0", "u")],
+            [("a", 1, "a1", "u"), ("b", 1, "b1", "u")],
+        ]
+    ):
+        b = _batch(spark, rows, seq)
+        seq += len(rows)
+        merge_batch(primary, b, run_id="r", batch_id=i)
+        # crash before any view refresh: nothing maintained
+
+    assert primary.seq_high_water() == seq - 1  # metadata floor is live
+    res = view.catch_up(run_id="cu")
+    assert res is not None and not res.skipped
+    assert _view_state(view) == _full_rebuild(primary)
+
+    # already current: None, and no new view snapshot version
+    v_before = view.view.latest_version()
+    assert view.catch_up(run_id="cu") is None
+    assert view.view.latest_version() == v_before
+
+    # more un-refreshed batches, including a full tombstone of b
+    b2 = _batch(
+        spark, [("b", 0, None, "d"), ("b", 1, None, "d"), ("c", 1, "c1", "u")], seq
+    )
+    merge_batch(primary, b2, run_id="r", batch_id=2)
+    res2 = view.catch_up(run_id="cu")
+    assert res2 is not None and not res2.skipped
+    final = _view_state(view)
+    assert final == _full_rebuild(primary)
+    assert "b" not in final
+
+
+def test_pipeline_deferred_view_refresh(spark, tmp_path):
+    """CdcPipeline(view_refresh_every=3): per-batch refresh is skipped,
+    catch-ups run every 3rd batch and at end of run; the drained view
+    equals the full rebuild, and a crash-replay converges identically."""
+    from couch_to_mongo_spark.gen import generate_changes
+    from couch_to_mongo_spark.streaming.cdc import CdcPipeline
+
+    generate_changes(
+        str(tmp_path / "changes"), n_events=1200, n_convs=12, seed=75, n_files=4
+    )
+    kw = dict(
+        table_path=str(tmp_path / "table"),
+        changes_dir=str(tmp_path / "changes"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4,
+        max_files_per_trigger=1,
+        maintain_view=str(tmp_path / "view"),
+        view_refresh_every=3,
+    )
+    pipe = CdcPipeline(spark, **kw).run_available()
+    assert pipe.batches_applied == 4
+    expected = {
+        r["conv_id"]: (r["n_turns"], r["doc"])
+        for r in render_conversations(read_state(pipe.table)).collect()
+    }
+    got = {
+        r["conv_id"]: (r["n_turns"], r["doc"]) for r in pipe.view.read().collect()
+    }
+    assert got == expected
+
+    # new checkpoint, same events: primary and deferred view reconverge
+    kw2 = dict(kw, checkpoint_dir=str(tmp_path / "ckpt2"))
+    pipe2 = CdcPipeline(spark, **kw2).run_available()
+    got2 = {
+        r["conv_id"]: (r["n_turns"], r["doc"]) for r in pipe2.view.read().collect()
+    }
+    assert got2 == expected
+
+
 def test_view_compaction_bounds_delta_files(spark, tmp_path):
     """Each refresh appends MOR deltas to the view; the wired compaction
     must keep per-bucket file counts bounded across many batches."""

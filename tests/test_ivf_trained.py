@@ -223,3 +223,26 @@ def test_kmeans_gemm_tree_fold_parity_and_large_k(spark, clustered):
 
     with pytest.raises(ValueError):
         kmeans_train_gemm(df, k=K, n_iters=1, fold="bogus")
+
+
+def test_kmeans_gemm_centroids_ship_by_broadcast(spark, clustered, monkeypatch):
+    """The centroid matrix must ride a SparkContext.broadcast (one
+    torrent transfer per iteration, cached per executor), not a pickled
+    task closure — at 10^5 lists a captured k x dim float64 array is a
+    ~50 MB payload re-shipped per stage. Spy: exactly one broadcast per
+    Lloyd iteration, each carrying the full k x dim matrix."""
+    from couch_to_mongo_spark.functions.vectors import kmeans_train_gemm
+
+    df, _ = clustered
+    shipped = []
+    sc = spark.sparkContext
+    orig = sc.broadcast
+
+    def spy(value):
+        shipped.append(getattr(value, "shape", None))
+        return orig(value)
+
+    monkeypatch.setattr(sc, "broadcast", spy)
+    out = kmeans_train_gemm(df, k=K, n_iters=3)
+    dim = len(out[0][1])
+    assert shipped == [(K, dim)] * 3

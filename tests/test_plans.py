@@ -265,3 +265,10 @@ def test_corpus_view_refresh_plan_shape(spark, tmp_path):
     counts = [int(m) for m in _re.findall(r"number of files: (\d+)", plan)]
     if counts:  # formatted plans include per-scan file counts
         assert max(counts) < total_files, (counts, total_files, plan)
+
+    # non-broadcast (giant catch-up) refresh: the changed-conv set feeds
+    # three consumers, so it must be materialized ONCE (localCheckpoint ->
+    # the plan reads an ExistingRDD scan, not three re-derivations of the
+    # distinct over the batch source)
+    plan_nb = formatted_plan(view.plan_refresh(one, seq=100, broadcast_convs=False))
+    assert "ExistingRDD" in plan_nb, plan_nb

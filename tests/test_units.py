@@ -538,6 +538,34 @@ def test_pack_sequences_invariants(spark):
     assert a == b
 
 
+def test_derive_n_shards_proportional():
+    """Packing parallelism sizes itself from the corpus: floor of 8 for
+    small inputs, then ~1 shard per PACK_DOCS_PER_SHARD docs — 10x the
+    rows gets 10x the shards above the floor."""
+    from couch_to_mongo_spark.functions.text import (
+        PACK_DOCS_PER_SHARD,
+        derive_n_shards,
+    )
+
+    assert derive_n_shards(0) == 8
+    assert derive_n_shards(PACK_DOCS_PER_SHARD * 8) == 8
+    a = derive_n_shards(PACK_DOCS_PER_SHARD * 40)
+    b = derive_n_shards(PACK_DOCS_PER_SHARD * 400)
+    assert (a, b) == (40, 400)
+
+
+def test_pack_sequences_derives_shards(spark):
+    """n_shards=None derives the shard count from a corpus count (floor 8
+    on the small fixture) and still tiles the full token total."""
+    from couch_to_mongo_spark.functions.text import _bpe_tokens_col, pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = pack_sequences(docs, seq_len=128, seed=7).toPandas()
+    assert set(out["shard"].unique()) <= set(range(8))
+    total = docs.select(F.sum(_bpe_tokens_col("text"))).collect()[0][0]
+    assert int(out["n_toks"].sum()) == int(total)
+
+
 def test_mask_contaminated_semantics(spark):
     """Masked docs carry the sentinel exactly n_masked times; clean docs
     rebuild to their normalized token stream unchanged."""
