@@ -1599,6 +1599,67 @@ FROM h
 """
 
 
+def q_image_dedup_groups(spark, sf_dir):
+    """Content-level image dedup (functions/multimodal.py
+    image_dedup_groups): dHash per payload (one Arrow pass) -> complete
+    Hamming<=3 pairs by 14-bit pigeonhole bands -> connected-components
+    groups. Fixture plants exact-duplicate images (every 3 consecutive
+    image ids share a payload) so the group structure is non-trivial;
+    payloads are synthetic, so hashing takes the digest-derived stub
+    pixel path the oracle replays md5-for-md5."""
+    from couch_to_mongo_spark.functions.multimodal import image_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.encode(
+            F.concat(
+                F.lit("img-"),
+                (F.floor(F.col("doc_id") / 9) * 9).cast("long").cast("string"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    return image_dedup_groups(imgs, max_hamming=3)
+
+
+def _sql_dhash_expr(digest: str) -> str:
+    """The 56-term dHash as DuckDB SQL over a digest column: row i's gray
+    bytes are md5(digest || ':i'); bit i*7+j set iff byte j < byte j+1 —
+    byte-for-byte the Python kernel's _digest_gray + _dhash_bits."""
+    def g(i: int, j: int) -> str:
+        return (f"CAST('0x' || substr(md5({digest} || ':{i}'), "
+                f"{2 * j + 1}, 2) AS BIGINT)")
+
+    return " + ".join(
+        f"(CASE WHEN {g(i, j)} < {g(i, j + 1)} THEN {1 << (i * 7 + j)} ELSE 0 END)"
+        for i in range(8)
+        for j in range(7)
+    )
+
+
+SQL_IMAGE_DEDUP_GROUPS = f"""
+WITH RECURSIVE
+m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+             md5('img-' || CAST((doc_id // 9) * 9 AS VARCHAR)) AS digest
+      FROM documents WHERE doc_id % 3 = 0),
+h AS (SELECT media_id, CAST({{DH}} AS BIGINT) AS dhash FROM m),
+pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+          FROM h a JOIN h b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT media_id, media_id FROM h
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT h.media_id, h.dhash, MIN(r.lbl) AS group_id
+FROM h JOIN reach r ON r.id = h.media_id
+GROUP BY h.media_id, h.dhash
+""".replace("{DH}", _sql_dhash_expr("digest"))
+
+
 # ---------------------------------------------------------------------------
 # the real engine end-to-end (non-SQL-expressible: streaming + table format)
 # ---------------------------------------------------------------------------
@@ -1756,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train_assign": q_ivf_train_assign,
         "pq_train_encode": q_pq_train_encode,
         "multimodal_decode": q_multimodal_decode,
+        "image_dedup_groups": q_image_dedup_groups,
         "engine_replay": q_engine_replay,
         "corpus_view_replay": q_corpus_view_replay,
     }
@@ -1816,6 +1878,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_train_assign": SQL_IVF_TRAIN,
         "pq_train_encode": SQL_PQ_TRAIN,
         "multimodal_decode": SQL_MULTIMODAL,
+        "image_dedup_groups": SQL_IMAGE_DEDUP_GROUPS,
         # round 2: the full engine path is oracle-checked too — final MOR
         # state after merge+compaction+tombstones IS SQL-expressible
         "engine_replay": SQL_ENGINE_REPLAY,

@@ -158,6 +158,125 @@ def _decode_real(payload: bytes, kind: str) -> dict | None:
     }
 
 
+DHASH_GRID = 8  # 8x8 gray grid -> 7 adjacent comparisons x 8 rows
+DHASH_BITS = DHASH_GRID * (DHASH_GRID - 1)  # 56: fits a positive BIGINT
+
+
+def _digest_gray(digest: str) -> list[list[int]]:
+    """Deterministic 8x8 gray matrix from a payload's md5 digest: row i is
+    the first 8 bytes of ``md5(digest + ':' + i)``. The STUB pixel source
+    for payloads no image decoder recognizes (and for PIL-less
+    environments): identical bytes hash identically — the operator then
+    behaves as exact content dedup — and the md5 chain is exactly
+    replayable in DuckDB, which is what the contract oracle does."""
+    rows = []
+    for i in range(DHASH_GRID):
+        h = hashlib.md5(f"{digest}:{i}".encode()).hexdigest()
+        rows.append(
+            [int(h[2 * j : 2 * j + 2], 16) for j in range(DHASH_GRID)]
+        )
+    return rows
+
+
+def _dhash_bits(gray: list[list[int]]) -> int:
+    """Difference hash over a gray grid: bit ``i*(G-1)+j`` set iff
+    ``gray[i][j] < gray[i][j+1]`` — the adjacent-pixel gradient sign,
+    which survives uniform brightness/contrast shifts (the property that
+    makes dHash perceptual). 56 bits on the 8x8 grid, so the value stays
+    a positive signed 64-bit integer in every engine."""
+    h = 0
+    for i in range(DHASH_GRID):
+        row = gray[i]
+        for j in range(DHASH_GRID - 1):
+            if row[j] < row[j + 1]:
+                h |= 1 << (i * (DHASH_GRID - 1) + j)
+    return h
+
+
+def _pil_gray(payload: bytes) -> list[list[int]] | None:
+    """Real pixel path: PIL grayscale + resize to the dHash grid.
+    Feature-detected once per worker; None (-> digest stub) when PIL is
+    absent or the payload isn't a decodable image."""
+    if not _HAS_PIL:
+        return None
+    try:
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            px = list(im.convert("L").resize((DHASH_GRID, DHASH_GRID)).getdata())
+        return [
+            px[i * DHASH_GRID : (i + 1) * DHASH_GRID] for i in range(DHASH_GRID)
+        ]
+    except Exception:
+        return None
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual hash per image payload — ONE ``mapInPandas`` Arrow pass
+    (binary batches move zero-copy; per-row work is an 8x8 resize+compare,
+    the correct batched-codec shape), no shuffle. Output: (id, dhash).
+
+    The reference replicates media-less JSON docs (Mongo.java:189); image
+    columns and their dedup are beyond-reference, per the training-data
+    mandate."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                gray = _pil_gray(b) or _digest_gray(hashlib.md5(b).hexdigest())
+                hashes.append(_dhash_bits(gray))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "dhash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, f"{id_col} long, dhash long"
+    )
+
+
+def image_dedup_groups(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Content-level image near-dup groups — the multimodal analogue of
+    the text/embedding dedup family: dHash (one Arrow scan) -> COMPLETE
+    Hamming-<=k candidate pairs by pigeonhole banding (one shuffle on
+    (band, value), never all-pairs — text.hamming_pairs) -> large-star/
+    small-star connected components -> per-image group id (component
+    minimum, so keeper election is ``media_id == group_id``).
+
+    Scale shape: identical to simhash dedup — band selectivity is
+    2^(56/bands) so 14-bit bands stay collision-bound on 10^9-image
+    corpora; the fixpoint is the same relational components kernel the
+    text family already runs. Output: (id, dhash, group_id)."""
+    from couch_to_mongo_spark.functions.text import hamming_pairs
+    from couch_to_mongo_spark.operators.components import connected_components
+
+    # two consumers (band join + final attach) would each re-run the
+    # Arrow hashing pass over every payload — materialize the tiny
+    # (id, hash) projection once instead (the exchange-reuse rule:
+    # restructure, don't re-derive)
+    hashes = image_dhash(df, id_col=id_col, payload_col=payload_col)
+    hashes = hashes.localCheckpoint(eager=False)
+    pairs = hamming_pairs(
+        hashes, "dhash", id_col=id_col,
+        max_hamming=max_hamming, bands=bands, n_bits=DHASH_BITS,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias(id_col), F.col("component").alias("group_id")
+    )
+    # attach_components' singleton rule, keeping the hash column (no
+    # forced broadcast: AQE upgrades when the mapping is actually small)
+    return hashes.join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.col("dhash"),
+        F.coalesce(F.col("group_id"), F.col(id_col)).alias("group_id"),
+    )
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode/probe each media payload via mapInPandas (Arrow batches).
 

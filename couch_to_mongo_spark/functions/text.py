@@ -1144,25 +1144,50 @@ def simhash_pairs(
     60-bit 15-bit bands).
 
     Output: (id_a, id_b, hamming)."""
+    sim = simhash_df(df, text_col, id_col, n_bits=n_bits)
+    return hamming_pairs(
+        sim, hash_col="simhash", id_col=id_col,
+        max_hamming=max_hamming, bands=bands, n_bits=n_bits,
+    )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    n_bits: int = 60,
+) -> DataFrame:
+    """Complete Hamming-distance pairs over any PRECOMPUTED integer hash
+    column (simhash, image dHash, audio fingerprint, ...) by the
+    pigeonhole band trick — the shared banded-join back end of the
+    hash-based near-dup family (see :func:`simhash_pairs` for the
+    completeness argument and band-width sizing rule). ``n_bits`` must
+    keep bit ``63`` clear (signed-long hashes would sign-extend through
+    ``shiftright``); every in-repo producer emits <= 60 bits.
+
+    Output: (id_a, id_b, hamming)."""
     if max_hamming >= bands:
         raise ValueError(
             f"completeness needs max_hamming < bands ({max_hamming} >= {bands})"
         )
     if n_bits % bands:
         raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    if n_bits > 62:
+        raise ValueError(f"n_bits={n_bits} must fit a positive signed long")
     width = n_bits // bands
     mask = (1 << width) - 1
-    sim = simhash_df(df, text_col, id_col, n_bits=n_bits)
-    band_rows = sim.select(
+    band_rows = df.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col).alias("_hash"),
         F.explode(
             F.array(
                 *[
                     F.concat_ws(
                         "_",
                         F.lit(b),
-                        F.shiftright(F.col("simhash"), b * width)
+                        F.shiftright(F.col(hash_col), b * width)
                         .bitwiseAND(F.lit(mask))
                         .cast("string"),
                     )
@@ -1172,10 +1197,10 @@ def simhash_pairs(
         ).alias("bkey"),
     )
     a = band_rows.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "bkey"
+        F.col(id_col).alias("id_a"), F.col("_hash").alias("_ha"), "bkey"
     )
     b = band_rows.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "bkey"
+        F.col(id_col).alias("id_b"), F.col("_hash").alias("_hb"), "bkey"
     )
     cand = (
         a.join(b, "bkey")

@@ -109,3 +109,111 @@ def test_pil_path_decodes_other_formats():
     Image.new("RGB", (12, 7)).save(buf, format="BMP")
     m = _decode_real(buf.getvalue(), "image")
     assert (m["width"], m["height"]) == (12, 7)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (dHash -> banded hamming pairs -> groups)
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_perceptual_locality():
+    """A small pixel perturbation must flip only the bits whose adjacent
+    comparisons it touches (<= 2 per changed cell), while an unrelated
+    matrix diverges broadly — the property that makes dHash *perceptual*
+    rather than cryptographic."""
+    from couch_to_mongo_spark.functions.multimodal import _dhash_bits
+
+    base = [[(i * 13 + j * 29) % 251 for j in range(8)] for i in range(8)]
+    h0 = _dhash_bits(base)
+
+    near = [row[:] for row in base]
+    near[3][4] = (near[3][4] + 1) % 251  # touches comparisons (3,3) and (3,4)
+    h1 = _dhash_bits(near)
+    assert bin(h0 ^ h1).count("1") <= 2
+
+    other = [[(i * 57 + j * 5 + 11) % 233 for j in range(8)] for i in range(8)]
+    h2 = _dhash_bits(other)
+    assert bin(h0 ^ h2).count("1") > 3
+
+
+def test_digest_gray_deterministic_and_bit_exact():
+    """The stub pixel source is a pure md5 chain (what the DuckDB oracle
+    replays); spot-check one byte against hashlib directly."""
+    from couch_to_mongo_spark.functions.multimodal import _digest_gray
+
+    d = hashlib.md5(b"img-0").hexdigest()
+    g1, g2 = _digest_gray(d), _digest_gray(d)
+    assert g1 == g2
+    row0 = hashlib.md5(f"{d}:0".encode()).hexdigest()
+    assert g1[0][3] == int(row0[6:8], 16)
+
+
+def test_hamming_pairs_complete_and_bounded(spark):
+    """Pigeonhole banding on a precomputed hash column: every pair within
+    max_hamming is found (planted 1/2/3-bit flips), nothing beyond it
+    (planted 4-bit flip spread across 4 bands) — completeness, not
+    best-effort recall."""
+    from couch_to_mongo_spark.functions.text import hamming_pairs
+
+    base = 0x0123456789ABCD  # 56-bit
+    rows = [
+        (0, base),
+        (1, base ^ (1 << 3)),                                  # hamming 1
+        (2, base ^ (1 << 15) ^ (1 << 40)),                     # hamming 2
+        (3, base ^ (1 << 1) ^ (1 << 20) ^ (1 << 50)),          # hamming 3
+        # 4 flips in 4 DIFFERENT 14-bit bands: no shared band, must be absent
+        (4, base ^ (1 << 2) ^ (1 << 16) ^ (1 << 30) ^ (1 << 44)),
+        (5, 0x7FAAAAAAAAAAAA),                                 # far away
+    ]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            df, "dhash", id_col="media_id", max_hamming=3, bands=4, n_bits=56
+        ).collect()
+    }
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(0, 3)] == 3
+    assert (0, 4) not in got  # beyond max_hamming
+    assert all(a != 5 and b != 5 for a, b in got)
+
+
+def test_image_dedup_groups_planted_duplicates(spark):
+    """Planted recall: 30 images in 10 exact-duplicate triplets (plus 6
+    unique singletons) must group exactly by triplet with the min id as
+    group id — recall 1.0, zero false merges."""
+    from couch_to_mongo_spark.functions.multimodal import image_dedup_groups
+
+    rows = [(i, bytearray(f"img-{i // 3}".encode())) for i in range(30)]
+    rows += [(100 + i, bytearray(f"solo-{i}".encode())) for i in range(6)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r["group_id"] for r in image_dedup_groups(df).collect()
+    }
+    assert len(got) == 36
+    for i in range(30):
+        assert got[i] == (i // 3) * 3
+    for i in range(6):
+        assert got[100 + i] == 100 + i
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed in this image")
+def test_dhash_pil_path_near_dup_images():
+    """Real-pixel path: a gradient image and a slightly brightness-shifted
+    copy must land within hamming 3 (gradient signs survive uniform
+    shifts); an inverted gradient must not."""
+    import PIL.Image as Image
+
+    from couch_to_mongo_spark.functions.multimodal import _dhash_bits, _pil_gray
+
+    def img_bytes(fn):
+        im = Image.new("L", (64, 64))
+        im.putdata([fn(x, y) for y in range(64) for x in range(64)])
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    a = _dhash_bits(_pil_gray(img_bytes(lambda x, y: min(255, 2 * x + y))))
+    b = _dhash_bits(_pil_gray(img_bytes(lambda x, y: min(255, 2 * x + y + 4))))
+    c = _dhash_bits(_pil_gray(img_bytes(lambda x, y: max(0, 255 - 2 * x - y))))
+    assert bin(a ^ b).count("1") <= 3
+    assert bin(a ^ c).count("1") > 3
