@@ -77,9 +77,18 @@ def _gen_feed(spark, feed: str, n_events: int, n_files: int) -> None:
         )
 
 
-def _replay_once(spark, feed: str, work: str, n_buckets: int, mfpt: int):
+def _replay_once(spark, feed: str, work: str, n_buckets: int, mfpt: int,
+                 with_view: bool = False):
     from couch_to_mongo_spark.streaming.cdc import CdcPipeline
 
+    view_kw = {}
+    if with_view:
+        # deferred maintenance (r6): the view catches up from the
+        # primary's per-file _seq bounds every 4 batches + at end of run,
+        # so render latency stays off the per-batch critical path
+        view_kw = dict(
+            maintain_view=os.path.join(work, "view"), view_refresh_every=4
+        )
     pipe = CdcPipeline(
         spark,
         table_path=os.path.join(work, "tbl"),
@@ -88,6 +97,7 @@ def _replay_once(spark, feed: str, work: str, n_buckets: int, mfpt: int):
         n_buckets=n_buckets,
         max_files_per_trigger=mfpt,
         collect_stats=False,
+        **view_kw,
     )
     t0 = time.time()
     pipe.run_available()
@@ -97,6 +107,7 @@ def _replay_once(spark, feed: str, work: str, n_buckets: int, mfpt: int):
 def run_cdc_bench(
     spark, n_events: int, n_files: int, n_buckets: int, base_dir: str,
     passes: int = 2, mfpt: int = 4, feed: str | None = None,
+    with_view: bool = False,
 ):
     """Replay `passes` times (fresh table/checkpoint each); the sustained
     number is the MIN pass wall: this host randomly throttles processes
@@ -112,7 +123,10 @@ def run_cdc_bench(
     walls = []
     for p in range(passes):
         work = os.path.join(base_dir, f"pass{p}")
-        walls.append(round(_replay_once(spark, feed, work, n_buckets, mfpt), 2))
+        walls.append(round(
+            _replay_once(spark, feed, work, n_buckets, mfpt, with_view=with_view),
+            2,
+        ))
         shutil.rmtree(work, ignore_errors=True)
     return walls, n_events / min(walls)
 
@@ -155,6 +169,13 @@ SF1_HEADLINE = [
     # r5 transcript family at 10x events: conversation fold + the full
     # fold->render->pack chain
     "render_conversations", "conversation_pack",
+    # r6: the r5 operators that previously had no scale datapoint (the
+    # two decontamination outliers got a 10x fix this round — sf1 keeps
+    # them honest), plus the new image dedup; decontaminate is included
+    # as the verdict-only contrast for the spans/mask pair
+    "decontaminate", "decontaminate_spans", "mask_contaminated",
+    "pack_sequences", "token_budget_sample", "corpus_view_replay",
+    "image_dedup_groups",
 ]
 # the expression-join exact pair baseline costs ~2 min at sf1 (which is
 # the point — neardup_cosine_blas is the same pairs at ~1 s); one pass
@@ -424,6 +445,20 @@ def main():
     result["walls_all_passes"] = walls
     result["events_per_sec"] = round(eps, 1)
 
+    # same replay WITH deferred corpus-view maintenance (view_refresh_every=4):
+    # the O(changed) claim as a measured throughput delta vs the plain headline
+    with tempfile.TemporaryDirectory(prefix="c2m_bench_v_", dir=_workdir_base()) as base:
+        walls_v, eps_v = run_cdc_bench(
+            spark, args.cdc_events, args.cdc_files, args.n_buckets, base,
+            passes=2, mfpt=args.mfpt, with_view=True,
+        )
+    result["cdc_view"] = {
+        "walls_sec": walls_v,
+        "wall_sec": min(walls_v),
+        "events_per_sec": round(eps_v, 1),
+        "vs_plain": round(min(walls_v) / min(walls), 3),
+    }
+
     if not args.no_cdc_sf1:
         # sf1-scale replay headline (10x events): the 500k replay is ~2.3 s
         # — mostly fixed overhead — so the 5M replay carries the real
@@ -440,6 +475,22 @@ def main():
             "walls_sec": walls1,
             "wall_sec": min(walls1),
             "events_per_sec": round(eps1, 1),
+        }
+        # the r5 verdict's stretch: the view's O(changed) maintenance
+        # measured at the 5M-event tier, not just sf0.1
+        with tempfile.TemporaryDirectory(
+            prefix="c2m_bench_sf1v_", dir=_workdir_base()
+        ) as base:
+            walls1v, eps1v = run_cdc_bench(
+                spark, args.cdc_events_sf1, args.cdc_files_sf1, args.n_buckets,
+                base, passes=2, mfpt=args.mfpt_sf1, with_view=True,
+            )
+        result["cdc_sf1_view"] = {
+            "events": args.cdc_events_sf1,
+            "walls_sec": walls1v,
+            "wall_sec": min(walls1v),
+            "events_per_sec": round(eps1v, 1),
+            "vs_plain": round(min(walls1v) / min(walls1), 3),
         }
 
     if not args.no_queries:
@@ -470,6 +521,15 @@ def main():
     if scaling is not None:
         result["scaling"] = scaling
         _write_baseline_md(result, args)
+
+    # committed adjudication notes ride along with every record: when a
+    # regression flag has been re-run exclusively and ruled weather (or
+    # fixed), the verdict lives next to the flag instead of in a lost
+    # conversation (BENCH/adjudications.json, keyed by query name)
+    adj_path = os.path.join("BENCH", "adjudications.json")
+    if os.path.exists(adj_path):
+        with open(adj_path) as fh:
+            result["adjudications"] = json.load(fh)
 
     result["local_record"] = persist_local_record(result)
     print(json.dumps(result))
