@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--maintain-view", default=None, metavar="PATH",
                    help="keep a rendered-conversation corpus table fresh "
                         "at PATH (O(touched convs) refresh per batch)")
+    p.add_argument("--view-refresh-every", type=int, default=1, metavar="K",
+                   help="defer view maintenance: catch up every K batches "
+                        "+ at end of run instead of per batch (crash-safe; "
+                        "changed convs derived from the primary's _seq "
+                        "bounds)")
 
     p = sub.add_parser("tail", help="continuous CDC tail")
     p.add_argument("--table", required=True)
@@ -73,6 +78,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--maintain-view", default=None, metavar="PATH",
                    help="keep a rendered-conversation corpus table fresh "
                         "at PATH (O(touched convs) refresh per batch)")
+    p.add_argument("--view-refresh-every", type=int, default=1, metavar="K",
+                   help="defer view maintenance to every K batches")
+
+    p = sub.add_parser(
+        "view-catchup",
+        help="bring a rendered-corpus view up to the primary's current "
+        "snapshot (deferred/crashed maintenance repair; O(new files))",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--view", required=True)
+    p.add_argument("--run-id", default="view-catchup")
 
     p = sub.add_parser("compact", help="fold MOR delta files")
     p.add_argument("--table", required=True)
@@ -171,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
             collect_stats=not getattr(args, "no_stats", False),
             emit_cdf=getattr(args, "emit_cdf", False),
             maintain_view=getattr(args, "maintain_view", None),
+            view_refresh_every=getattr(args, "view_refresh_every", 1),
         )
         if args.cmd == "replay":
             pipe.run_available()
@@ -188,6 +205,23 @@ def main(argv: list[str] | None = None) -> int:
         else:
             q = pipe.start_continuous(processing_time=args.trigger)
             q.awaitTermination()
+    elif args.cmd == "view-catchup":
+        from couch_to_mongo_spark.operators.corpus_view import RenderedCorpusView
+        from couch_to_mongo_spark.tableformat import LakeTable
+
+        primary = LakeTable(spark, args.table)
+        view = RenderedCorpusView(spark, primary, args.view)
+        res = view.catch_up(run_id=args.run_id)
+        print(
+            json.dumps(
+                {
+                    "caught_up": res is not None,
+                    "already_current": res is None,
+                    "rows_applied": getattr(res, "rows_applied", 0) if res else 0,
+                    "view_seq_hwm": view.view.seq_high_water(),
+                }
+            )
+        )
     elif args.cmd == "compact":
         from couch_to_mongo_spark.operators.compact import compact
         from couch_to_mongo_spark.tableformat import LakeTable

@@ -134,3 +134,63 @@ def test_render_cli_drop_boilerplate(spark, tmp_path, capsys):
         spark.read.parquet(out_cut).toPandas()["n_turns"].sum()
     )
     assert total_cut <= total_all
+
+
+def test_view_catchup_cli(spark, tmp_path, capsys):
+    """view-catchup: a primary replayed WITHOUT view maintenance is
+    brought current by the repair command; a second invocation reports
+    already_current. Then replay --view-refresh-every drives the deferred
+    mode end to end from the CLI."""
+    from couch_to_mongo_spark.functions.transcripts import render_conversations
+    from couch_to_mongo_spark.operators.merge import read_state
+
+    generate_changes(
+        str(tmp_path / "changes"), n_events=600, n_convs=8, seed=77, n_files=2
+    )
+    pipe = CdcPipeline(
+        spark,
+        table_path=str(tmp_path / "table"),
+        changes_dir=str(tmp_path / "changes"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4,
+    ).run_available()
+
+    submit_main.main(
+        ["view-catchup", "--table", pipe.table_path, "--view", str(tmp_path / "view")]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["caught_up"] and out["rows_applied"] > 0
+
+    submit_main.main(
+        ["view-catchup", "--table", pipe.table_path, "--view", str(tmp_path / "view")]
+    )
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["already_current"]
+
+    from couch_to_mongo_spark.operators.corpus_view import RenderedCorpusView
+    view = RenderedCorpusView(spark, pipe.table, str(tmp_path / "view"))
+    got = {r["conv_id"]: r["doc"] for r in view.read().collect()}
+    want = {
+        r["conv_id"]: r["doc"]
+        for r in render_conversations(read_state(pipe.table)).collect()
+    }
+    assert got == want
+
+    # deferred mode from the CLI on a fresh table
+    submit_main.main([
+        "replay", "--table", str(tmp_path / "t2"), "--changes",
+        str(tmp_path / "changes"), "--checkpoint", str(tmp_path / "ckpt2"),
+        "--n-buckets", "4", "--maintain-view", str(tmp_path / "view2"),
+        "--view-refresh-every", "2", "--max-files-per-trigger", "1",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["batches_applied"] == 2
+    from couch_to_mongo_spark.tableformat import LakeTable
+    t2 = LakeTable(spark, str(tmp_path / "t2"))
+    view2 = RenderedCorpusView(spark, t2, str(tmp_path / "view2"))
+    got2 = {r["conv_id"]: r["doc"] for r in view2.read().collect()}
+    want2 = {
+        r["conv_id"]: r["doc"]
+        for r in render_conversations(read_state(t2)).collect()
+    }
+    assert got2 == want2
