@@ -1660,6 +1660,68 @@ GROUP BY h.media_id, h.dhash
 """.replace("{DH}", _sql_dhash_expr("digest"))
 
 
+def q_audio_dedup_groups(spark, sf_dir):
+    """Content-level audio dedup (functions/multimodal.py
+    audio_dedup_groups): 56-bit energy-difference fingerprint per payload
+    (one Arrow pass; real WAV decode, digest stub for the synthetic
+    fixture) -> complete Hamming<=3 pairs by 14-bit pigeonhole bands ->
+    connected-components groups. Fixture plants exact-duplicate triplets
+    among the 'audio' ids (doc_id % 3 == 1); the oracle replays the md5
+    energy chain and sign bits exactly."""
+    from couch_to_mongo_spark.functions.multimodal import audio_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    clips = docs.where(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.encode(
+            F.concat(
+                F.lit("aud-"),
+                (F.floor((F.col("doc_id") - 1) / 9) * 9 + 1)
+                .cast("long")
+                .cast("string"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    return audio_dedup_groups(clips, max_hamming=3)
+
+
+def _sql_afp_expr(digest: str) -> str:
+    """The 56-term audio fingerprint as DuckDB SQL: energy i is the first
+    8 md5-hex chars of md5(digest || ':i'); bit i set iff e_i < e_{i+1} —
+    byte-for-byte the Python kernel's _digest_energies + _sign_bits."""
+    def e(i: int) -> str:
+        return (f"CAST('0x' || substr(md5({digest} || ':{i}'), 1, 8) "
+                f"AS BIGINT)")
+
+    return " + ".join(
+        f"(CASE WHEN {e(i)} < {e(i + 1)} THEN {1 << i} ELSE 0 END)"
+        for i in range(56)
+    )
+
+
+SQL_AUDIO_DEDUP_GROUPS = f"""
+WITH RECURSIVE
+m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+             md5('aud-' || CAST(((doc_id - 1) // 9) * 9 + 1 AS VARCHAR)) AS digest
+      FROM documents WHERE doc_id % 3 = 1),
+h AS (SELECT media_id, CAST({{AF}} AS BIGINT) AS afp FROM m),
+pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+          FROM h a JOIN h b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.afp, b.afp)) <= 3),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT media_id, media_id FROM h
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT h.media_id, h.afp, MIN(r.lbl) AS group_id
+FROM h JOIN reach r ON r.id = h.media_id
+GROUP BY h.media_id, h.afp
+""".replace("{AF}", _sql_afp_expr("digest"))
+
+
 # ---------------------------------------------------------------------------
 # the real engine end-to-end (non-SQL-expressible: streaming + table format)
 # ---------------------------------------------------------------------------
@@ -1818,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_train_encode": q_pq_train_encode,
         "multimodal_decode": q_multimodal_decode,
         "image_dedup_groups": q_image_dedup_groups,
+        "audio_dedup_groups": q_audio_dedup_groups,
         "engine_replay": q_engine_replay,
         "corpus_view_replay": q_corpus_view_replay,
     }
@@ -1879,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_train_encode": SQL_PQ_TRAIN,
         "multimodal_decode": SQL_MULTIMODAL,
         "image_dedup_groups": SQL_IMAGE_DEDUP_GROUPS,
+        "audio_dedup_groups": SQL_AUDIO_DEDUP_GROUPS,
         # round 2: the full engine path is oracle-checked too — final MOR
         # state after merge+compaction+tombstones IS SQL-expressible
         "engine_replay": SQL_ENGINE_REPLAY,

@@ -243,7 +243,7 @@ SF1_HEADLINE = [
     # as the verdict-only contrast for the spans/mask pair
     "decontaminate", "decontaminate_spans", "mask_contaminated",
     "pack_sequences", "token_budget_sample", "corpus_view_replay",
-    "image_dedup_groups",
+    "image_dedup_groups", "audio_dedup_groups",
 ]
 # the expression-join exact pair baseline costs ~2 min at sf1 (which is
 # the point — neardup_cosine_blas is the same pairs at ~1 s); one pass

@@ -277,6 +277,120 @@ def image_dedup_groups(
     )
 
 
+#: audio fingerprint: 57 energy windows -> 56 adjacent-sign bits (the
+#: same positive-BIGINT budget as the image dHash, so the two share the
+#: banded hamming back end)
+AFP_WINDOWS = DHASH_BITS + 1
+
+
+def _sign_bits(vals: list[int]) -> int:
+    """Adjacent-difference sign bits: bit j set iff vals[j] < vals[j+1].
+    The scalar kernel under both perceptual hashes — gradient signs
+    survive uniform gain/brightness shifts."""
+    h = 0
+    for j in range(len(vals) - 1):
+        if vals[j] < vals[j + 1]:
+            h |= 1 << j
+    return h
+
+
+def _digest_energies(digest: str, n: int = AFP_WINDOWS) -> list[int]:
+    """Deterministic pseudo-energies from a payload digest (md5 chain,
+    exactly replayable in DuckDB) — the stub for payloads no audio
+    decoder recognizes; identical bytes fingerprint identically, so the
+    operator degrades to exact content dedup, never silently drops."""
+    return [
+        int(hashlib.md5(f"{digest}:{i}".encode()).hexdigest()[:8], 16)
+        for i in range(n)
+    ]
+
+
+def _wav_energies(b: bytes, n: int = AFP_WINDOWS) -> list[int] | None:
+    """REAL fingerprint path: per-window summed |amplitude| over the WAV
+    sample stream (stdlib ``wave`` + numpy; 16-bit and 8-bit PCM). None
+    for non-WAV / too-short / exotic widths (caller falls back to the
+    digest stub)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            raw = w.readframes(w.getnframes())
+            width = w.getsampwidth()
+    except (wave.Error, EOFError):
+        return None
+    import numpy as np
+
+    if width == 2:
+        s = np.abs(
+            np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(np.int64)
+        )
+    elif width == 1:
+        s = np.abs(np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128)
+    else:
+        return None
+    if s.size < n:
+        return None
+    win = s.size // n
+    return s[: win * n].reshape(n, win).sum(axis=1).tolist()
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual audio fingerprint per payload — ONE mapInPandas Arrow
+    pass, no shuffle: 57 energy windows over the decoded sample stream,
+    56 adjacent-sign bits (robust to uniform gain; the chromaprint-style
+    energy-difference construction). Real for WAV payloads (stdlib
+    decode), digest-stub otherwise. Output: (id, afp)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                e = _wav_energies(b) or _digest_energies(
+                    hashlib.md5(b).hexdigest()
+                )
+                fps.append(_sign_bits(e))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "afp": fps})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, f"{id_col} long, afp long"
+    )
+
+
+def audio_dedup_groups(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Content-level audio near-dup groups — completes the multimodal
+    dedup family (text / embeddings / image / audio all share the same
+    scale spine): fingerprint (one Arrow scan) -> complete Hamming<=k
+    pairs by pigeonhole bands (text.hamming_pairs) -> connected
+    components -> per-clip group id (component minimum). Output:
+    (id, afp, group_id)."""
+    from couch_to_mongo_spark.functions.text import hamming_pairs
+    from couch_to_mongo_spark.operators.components import connected_components
+
+    fps = audio_fingerprint(df, id_col=id_col, payload_col=payload_col)
+    fps = fps.localCheckpoint(eager=False)  # two consumers, one Arrow pass
+    pairs = hamming_pairs(
+        fps, "afp", id_col=id_col,
+        max_hamming=max_hamming, bands=bands, n_bits=DHASH_BITS,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias(id_col), F.col("component").alias("group_id")
+    )
+    return fps.join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.col("afp"),
+        F.coalesce(F.col("group_id"), F.col(id_col)).alias("group_id"),
+    )
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode/probe each media payload via mapInPandas (Arrow batches).
 

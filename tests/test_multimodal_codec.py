@@ -217,3 +217,79 @@ def test_dhash_pil_path_near_dup_images():
     c = _dhash_bits(_pil_gray(img_bytes(lambda x, y: max(0, 255 - 2 * x - y))))
     assert bin(a ^ b).count("1") <= 3
     assert bin(a ^ c).count("1") > 3
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint dedup (energy-sign fingerprint -> banded pairs -> groups)
+# ---------------------------------------------------------------------------
+
+
+def tone_wav(envelope, rate: int = 8000, width: int = 2) -> bytes:
+    """16-bit mono WAV whose per-window energy follows `envelope(i)` over
+    57 windows — a real varying signal for the REAL fingerprint path."""
+    import math
+
+    from couch_to_mongo_spark.functions.multimodal import AFP_WINDOWS
+
+    win = 64
+    samples = []
+    for i in range(AFP_WINDOWS):
+        amp = envelope(i)
+        for j in range(win):
+            samples.append(int(amp * math.sin(2 * math.pi * j / 16)))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(width)
+        f.setframerate(rate)
+        f.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_afp_real_wav_gain_invariant():
+    """The REAL decode path: a uniformly gain-scaled copy fingerprints
+    identically (energy-difference signs are gain-invariant — the
+    property that makes it perceptual); an unrelated envelope diverges."""
+    from couch_to_mongo_spark.functions.multimodal import (
+        _sign_bits,
+        _wav_energies,
+    )
+
+    env = lambda i: 500 + 400 * ((i * 37) % 19)
+    a = _sign_bits(_wav_energies(tone_wav(env)))
+    b = _sign_bits(_wav_energies(tone_wav(lambda i: env(i) * 1.5)))
+    c = _sign_bits(_wav_energies(tone_wav(lambda i: 500 + 400 * ((i * 11) % 23))))
+    assert a == b
+    assert bin(a ^ c).count("1") > 3
+    # silence/unvarying signal is legal input (all-equal energies -> 0 hash)
+    assert _sign_bits(_wav_energies(make_wav(600))) == 0
+
+
+def test_afp_stub_bit_exact_md5_chain():
+    from couch_to_mongo_spark.functions.multimodal import _digest_energies
+
+    d = hashlib.md5(b"aud-1").hexdigest()
+    e = _digest_energies(d)
+    assert len(e) == 57
+    assert e[5] == int(hashlib.md5(f"{d}:5".encode()).hexdigest()[:8], 16)
+    assert _digest_energies(d) == e
+
+
+def test_audio_dedup_groups_planted(spark):
+    """Planted recall over a MIX of real WAV clips and stub payloads:
+    duplicate triplets (identical bytes) group with min id; a gain-scaled
+    real clip joins its original's group via the REAL decode path."""
+    from couch_to_mongo_spark.functions.multimodal import audio_dedup_groups
+
+    env = lambda i: 500 + 400 * ((i * 37) % 19)
+    wav_a = tone_wav(env)
+    wav_b = tone_wav(lambda i: env(i) * 1.25)  # same signs, hamming 0
+    rows = [(0, bytearray(wav_a)), (1, bytearray(wav_b))]
+    rows += [(10 + i, bytearray(f"aud-{10 + i - (i % 3)}".encode())) for i in range(9)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r["group_id"] for r in audio_dedup_groups(df).collect()
+    }
+    assert got[0] == 0 and got[1] == 0  # real path: gain-scaled copy grouped
+    for i in range(9):
+        assert got[10 + i] == 10 + i - (i % 3)  # stub path: exact triplets
