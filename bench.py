@@ -244,6 +244,9 @@ SF1_HEADLINE = [
     "decontaminate", "decontaminate_spans", "mask_contaminated",
     "pack_sequences", "token_budget_sample", "corpus_view_replay",
     "image_dedup_groups", "audio_dedup_groups",
+    # the composed curation flagship — previously the most expensive
+    # sf0.1 query with no scale datapoint
+    "curate_corpus",
 ]
 # the expression-join exact pair baseline costs ~2 min at sf1 (which is
 # the point — neardup_cosine_blas is the same pairs at ~1 s); one pass

@@ -101,6 +101,8 @@ class CdcPipeline:
         maintain_view: str | None = None,
         view_render_opts: dict | None = None,
         view_refresh_every: int = 1,
+        retention_keep_last: int | None = None,
+        retention_every: int = 50,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -119,6 +121,17 @@ class CdcPipeline:
         self.view_compactions = 0
         self._compact_thread = None
         self._compact_error: BaseException | None = None
+        # snapshot retention on the maintenance loop: a long tail commits
+        # one snapshot per micro-batch (plus compactions) — 10^6 version
+        # JSONs + orphaned manifests over a month without expiry. Every
+        # `retention_every` applied batches the maintenance pass calls
+        # expire_snapshots(keep_last=retention_keep_last) on the primary
+        # (and the maintained view). Fences ride in every snapshot, so
+        # pruned history never weakens exactly-once; time travel and
+        # read_appended stay valid within the retained window only.
+        self.retention_keep_last = retention_keep_last
+        self.retention_every = max(int(retention_every), 1)
+        self.expirations = 0
 
         # quarantine_poison: run the text transform through the
         # poison-isolating mapInPandas wrapper (operators/poison.py) — a row
@@ -331,7 +344,11 @@ class CdcPipeline:
         primary's mode."""
         do_primary = self.mode == "mor" and bool(self.compact_threshold)
         do_view = self.view is not None and bool(self.compact_threshold)
-        if not (do_primary or do_view):
+        do_expire = bool(
+            self.retention_keep_last
+            and self.batches_applied % self.retention_every == 0
+        )
+        if not (do_primary or do_view or do_expire):
             return
         from couch_to_mongo_spark.operators.compact import compact
 
@@ -342,6 +359,13 @@ class CdcPipeline:
                 self.compactions += 1
             if do_view and self.view.maybe_compact(self.compact_threshold):
                 self.view_compactions += 1
+            if do_expire:
+                self.table.expire_snapshots(keep_last=self.retention_keep_last)
+                if self.view is not None:
+                    self.view.view.expire_snapshots(
+                        keep_last=self.retention_keep_last
+                    )
+                self.expirations += 1
 
         if not self.compact_async:
             work()

@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
                         "+ at end of run instead of per batch (crash-safe; "
                         "changed convs derived from the primary's _seq "
                         "bounds)")
+    p.add_argument("--retention-keep-last", type=int, default=None,
+                   help="expire snapshots beyond the last N on the "
+                        "maintenance loop (bounds the version log on long "
+                        "streams; time travel valid within the window)")
+    p.add_argument("--retention-every", type=int, default=50,
+                   help="run snapshot expiry every N applied batches")
 
     p = sub.add_parser("tail", help="continuous CDC tail")
     p.add_argument("--table", required=True)
@@ -80,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
                         "at PATH (O(touched convs) refresh per batch)")
     p.add_argument("--view-refresh-every", type=int, default=1, metavar="K",
                    help="defer view maintenance to every K batches")
+    p.add_argument("--retention-keep-last", type=int, default=None,
+                   help="expire snapshots beyond the last N on the "
+                        "maintenance loop")
+    p.add_argument("--retention-every", type=int, default=50,
+                   help="run snapshot expiry every N applied batches")
 
     p = sub.add_parser(
         "view-catchup",
@@ -188,6 +199,8 @@ def main(argv: list[str] | None = None) -> int:
             emit_cdf=getattr(args, "emit_cdf", False),
             maintain_view=getattr(args, "maintain_view", None),
             view_refresh_every=getattr(args, "view_refresh_every", 1),
+            retention_keep_last=getattr(args, "retention_keep_last", None),
+            retention_every=getattr(args, "retention_every", 50),
         )
         if args.cmd == "replay":
             pipe.run_available()

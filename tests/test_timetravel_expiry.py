@@ -101,3 +101,56 @@ def test_timestamp_time_travel(spark, tmp_path):
     # undated; a dated create commit raises for ts before it
     with pytest.raises(ValueError):
         table.version_as_of(0.0)
+
+
+def test_pipeline_retention_bounds_snapshot_log(spark, tmp_path):
+    """CdcPipeline(retention_keep_last=): a long replay keeps the version
+    log bounded via the maintenance loop, while state parity, fences, and
+    cross-run LWW convergence all survive expiry (fences ride in every
+    retained snapshot)."""
+    from couch_to_mongo_spark.gen import generate_changes
+    from couch_to_mongo_spark.operators.merge import read_state
+    from couch_to_mongo_spark.streaming.cdc import CdcPipeline
+
+    generate_changes(
+        str(tmp_path / "changes"), n_events=1200, n_convs=12, seed=79, n_files=6
+    )
+    kw = dict(
+        table_path=str(tmp_path / "table"),
+        changes_dir=str(tmp_path / "changes"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4,
+        max_files_per_trigger=1,
+        retention_keep_last=3,
+        retention_every=2,
+        compact_async=False,  # deterministic maintenance ordering
+    )
+    pipe = CdcPipeline(spark, **kw).run_available()
+    assert pipe.batches_applied == 6
+    assert pipe.expirations >= 2
+    # bounded: keep_last plus at most the commits since the last expiry
+    versions = pipe.table._existing_versions()
+    assert len(versions) <= 3 + 2 * 2, versions
+
+    # fences survive expiry (cumulative in every retained snapshot)
+    assert pipe.table.is_batch_committed(pipe.run_id, 0)
+    assert pipe.table.is_batch_committed(pipe.run_id, 5)
+
+    state = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in read_state(pipe.table).collect()
+    }
+
+    # same checkpoint: nothing redelivered
+    pipe2 = CdcPipeline(spark, **kw).run_available()
+    assert pipe2.batches_applied == 0
+
+    # fresh checkpoint (new run id): full re-apply converges by LWW on
+    # the expired table
+    kw3 = dict(kw, checkpoint_dir=str(tmp_path / "ckpt2"))
+    pipe3 = CdcPipeline(spark, **kw3).run_available()
+    state3 = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in read_state(pipe3.table).collect()
+    }
+    assert state3 == state
