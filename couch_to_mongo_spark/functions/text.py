@@ -103,11 +103,26 @@ def exploded_shingles(
 ) -> DataFrame:
     """(id, shingle) rows: tokenize once per doc (materialized projection),
     then explode the shingle windows — the shared scale-path front end of
-    the MinHash / Jaccard family."""
+    the MinHash / contamination family.
+
+    Generator shape (r6): explode a cheap int ``sequence`` of window
+    starts and build each shingle with ``slice``+``concat_ws`` in the
+    post-explode codegen projection. Exploding the shingle ``transform``
+    directly makes the transform the Generate input, which re-evaluates
+    per output element — measured 4.4s vs 2.4s for this shape at sf1
+    (and catastrophically worse under posexplode; see
+    :func:`ngram_contamination_spans`)."""
     d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
-    return d.select(
+    e = d.select(
         F.col(id_col),
-        F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("_sh"),
+        F.col("_tk"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("_tk") - (n - 1), F.lit(1)))
+        ).alias("_p0"),
+    )
+    return e.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice(F.col("_tk"), F.col("_p0"), n)).alias("_sh"),
     )
 
 
