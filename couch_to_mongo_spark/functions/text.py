@@ -429,10 +429,18 @@ def dedup_groups(
     return attach_components(df, comp, id_col=id_col, out_col="group_id")
 
 
-def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
     """Length / punctuation / stopword / digit features + composite score.
     Token array materialized before the stopword-filter HOF (see
-    :func:`shingles` perf warning)."""
+    :func:`shingles` perf warning). ``extra`` appends named columns
+    (expressions over ``text_col``) to the SAME projection — how
+    :func:`curate_corpus` rides its fingerprint on this scan instead of
+    scanning the corpus again."""
     d = df.select(F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_tk"))
     t = F.col(text_col)
     toks = F.col("_tk")
@@ -453,6 +461,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.least(n_tok / F.lit(100.0), F.lit(1.0)) * (1 - n_punct / n_chars),
             6,
         ).alias("quality_score"),
+        *[v.alias(k) for k, v in (extra or {}).items()],
     )
 
 
@@ -934,25 +943,34 @@ def curate_corpus(
          AND punct_ratio <= max_punct_ratio
          AND dup_3gram_frac <= max_dup_3gram
 
-    Plan shape: four independent derivations of the documents scan
-    (features, repetition, fingerprint+keeper, LSH groups) joined on the
-    id. Features are shuffle-free, the keeper branch is one groupBy, and
-    the near-dup branch is :func:`lsh_dedup_groups` (bucket-collision-
+    Plan shape (r6): THREE derivations of the documents scan — the
+    quality features carry the content fingerprint on their own
+    projection (``quality_features(extra=)``) and the exact keeper is
+    elected with ``min(id) over (partition by _fp)``, one window
+    exchange over the slim feature rows instead of a fingerprint groupBy
+    plus a join-back (the r5 shape paid an extra corpus scan, a second
+    fingerprint evaluation, and one more id-shuffle join). Per-group
+    window state is a single running min, so a 10^8-copy boilerplate
+    fingerprint is safe. The other branches: repetition (explode +
+    groupBy shuffle) and :func:`lsh_dedup_groups` (bucket-collision-
     bound candidates + verify + components fixpoint) — its group_id IS
-    the component minimum, so keeper election there is a free comparison,
-    not another aggregation. ``near_dup=False`` skips the fourth branch
-    (and its fixpoint) for runs that exact-dedup only; ``lsh_kwargs``
-    forwards (k, bands, n, threshold, max_bucket_size). Output: (id,
-    n_tokens, quality_score, dup_3gram_frac, is_exact_keeper,
-    [is_neardup_keeper,] keep)."""
-    q = quality_features(df, text_col, id_col)
-    r = repetition_features(df, text_col, id_col)
-    fps = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
-    keepers = fps.groupBy("_fp").agg(F.min(id_col).alias("_keeper"))
-    d = fps.join(keepers, "_fp").select(
-        F.col(id_col), (F.col(id_col) == F.col("_keeper")).alias("is_exact_keeper")
+    the component minimum, so keeper election there is a free
+    comparison, not another aggregation. ``near_dup=False`` skips the
+    fourth branch (and its fixpoint) for runs that exact-dedup only;
+    ``lsh_kwargs`` forwards (k, bands, n, threshold, max_bucket_size).
+    Output: (id, n_tokens, quality_score, dup_3gram_frac,
+    is_exact_keeper, [is_neardup_keeper,] keep)."""
+    from pyspark.sql import Window
+
+    base = quality_features(
+        df, text_col, id_col, extra={"_fp": fingerprint(F.col(text_col))}
     )
-    out = q.join(r, id_col).join(d, id_col)
+    r = repetition_features(df, text_col, id_col)
+    q = base.withColumn(
+        "is_exact_keeper",
+        F.col(id_col) == F.min(id_col).over(Window.partitionBy("_fp")),
+    ).drop("_fp")
+    out = q.join(r, id_col)
     keep = (
         F.col("is_exact_keeper")
         & F.col("n_tokens").between(min_tokens, max_tokens)

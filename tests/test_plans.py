@@ -157,12 +157,15 @@ def test_emb_lsh_pairs_no_cartesian_and_local_expansion(spark):
 
 
 def test_curate_corpus_no_cartesian_single_scan_branches(spark):
-    """The composed curation pipeline: id equi-joins only (no cartesian),
-    and the dedup-keeper branch is a partial/final hash aggregation."""
+    """The composed curation pipeline: id equi-joins only (no cartesian);
+    the exact keeper is a window min over the fingerprint riding the
+    quality-feature scan (r6 — no separate fingerprint scan + join-back),
+    and the remaining aggregations are partial/final hash aggs."""
     df = E.q_curate_corpus(spark, SF)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
-    assert count_partial_final_aggs(df) >= 2  # keeper groupBy map-side combine
+    assert "Window" in plan, plan  # keeper election: min(id) over _fp
+    assert count_partial_final_aggs(df) >= 2  # repetition/LSH map-side combine
 
 
 def test_ivf_assign_large_k_is_broadcast_join(spark):
