@@ -868,6 +868,75 @@ SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
 """
 
 
+def q_conversation_dedup(spark, sf_dir):
+    """Conversation-granularity near-dup dedup — the composition a
+    transcript pipeline actually runs: LWW fold -> role-tagged render
+    (one doc per conversation) -> the production LSH dedup pipeline
+    (minhash bands -> capped candidates -> exact Jaccard verify ->
+    components) over the RENDERED docs, with the keeper verdict
+    (conv_id == group min). Re-recorded turns, reordered batches, and
+    boilerplate-heavy near-identical conversations dedup at the level
+    training consumes them."""
+    from couch_to_mongo_spark.functions.transcripts import render_conversations
+
+    rendered = render_conversations(
+        _fold_state_with_role(spark, sf_dir), role_col="role", sep="\n"
+    )
+    groups = X.lsh_dedup_groups(
+        rendered, text_col="doc", id_col="conv_id",
+        k=8, bands=4, n=3, threshold=0.5, max_bucket_size=50,
+    )
+    return groups.select(
+        "conv_id",
+        "group_id",
+        (F.col("conv_id") == F.col("group_id")).alias("keep"),
+    )
+
+
+SQL_CONVERSATION_DEDUP = f"""
+WITH RECURSIVE
+src AS ({SQL_RENDER_CONV}),
+docs AS (SELECT conv_id, {_TOKS('doc')} AS tk FROM src),
+shl AS (SELECT conv_id, {_SHINGLES} AS sl FROM docs),
+sh AS (SELECT conv_id, unnest(list_distinct(sl)) AS s FROM shl),
+sizes AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY conv_id),
+sig AS (SELECT conv_id, {_MH_COLS}
+  FROM shl),
+buckets AS (
+  SELECT conv_id, unnest([
+    '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR),
+    '1_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR),
+    '2_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR),
+    '3_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)]) AS bucket
+  FROM sig),
+ok AS (SELECT bucket FROM buckets GROUP BY bucket
+       HAVING count(*) BETWEEN 2 AND 50),
+cand AS (SELECT a.conv_id AS id_a, b.conv_id AS id_b
+         FROM buckets a JOIN buckets b
+           ON a.bucket = b.bucket AND a.conv_id < b.conv_id
+         WHERE a.bucket IN (SELECT bucket FROM ok)
+         GROUP BY 1, 2),
+inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+          FROM cand c
+          JOIN sh a ON a.conv_id = c.id_a
+          JOIN sh b ON b.conv_id = c.id_b AND b.s = a.s
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM inter JOIN sizes sa ON sa.conv_id = id_a
+                     JOIN sizes sb ON sb.conv_id = id_b
+          WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT conv_id, conv_id FROM docs
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS conv_id, MIN(lbl) AS group_id, id = MIN(lbl) AS keep
+FROM reach GROUP BY id
+"""
+
+
 def q_simhash(spark, sf_dir):
     return X.simhash16_df(_t(spark, sf_dir, "documents"))
 
@@ -1856,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "dedup_groups": q_dedup_groups,
         "lsh_dedup_groups": q_lsh_dedup_groups,
+        "conversation_dedup": q_conversation_dedup,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -1918,6 +1988,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_capped": SQL_JACCARD_CAPPED,
         "dedup_groups": SQL_DEDUP_GROUPS,
         "lsh_dedup_groups": SQL_LSH_DEDUP_GROUPS,
+        "conversation_dedup": SQL_CONVERSATION_DEDUP,
         "simhash": SQL_SIMHASH,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "lang_id": SQL_LANG,

@@ -247,6 +247,8 @@ SF1_HEADLINE = [
     # the composed curation flagship — previously the most expensive
     # sf0.1 query with no scale datapoint
     "curate_corpus",
+    # fold -> render -> LSH dedup over rendered conversations
+    "conversation_dedup",
 ]
 # the expression-join exact pair baseline costs ~2 min at sf1 (which is
 # the point — neardup_cosine_blas is the same pairs at ~1 s); one pass
