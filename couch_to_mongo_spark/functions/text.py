@@ -780,9 +780,15 @@ def mask_contaminated(
     # past len(_tk) — they never replace anything (zip_with stops at the
     # token array) and must not count. size(_tk) is O(1) per element.
     n_masked = F.size(F.filter(F.col("_m"), lambda p: p <= F.size("_tk")))
+    # clean docs (the overwhelming majority under the operator's
+    # asymmetric design) skip the interpreted per-token zip_with entirely
+    # — their masked_text is just the re-joined token stream
+    rendered = F.when(
+        F.size("_m") == 0, F.concat_ws(" ", F.col("_tk"))
+    ).otherwise(F.concat_ws(" ", out_tokens))
     return d.select(
         F.col(id_col),
-        F.concat_ws(" ", out_tokens).alias("masked_text"),
+        rendered.alias("masked_text"),
         n_masked.cast("long").alias("n_masked"),
     )
 
