@@ -1668,6 +1668,108 @@ FROM h
 """
 
 
+def q_mask_pii(spark, sf_dir):
+    """PII scrubbing (functions/text.py mask_pii): emails / dotted-quad
+    IPs / long digit runs -> typed sentinels + per-class hit counts, a
+    pure codegen regexp chain. The fixture has no organic PII, so the
+    entry plants it deterministically (doc_id-derived emails on ids % 5,
+    IPs + account numbers on ids % 7) identically in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(".25 ref 12345678901"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return X.mask_pii(planted)
+
+
+_SQL_PII_SRC = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 5 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END
+       || CASE WHEN doc_id % 7 = 0
+               THEN ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+                    || '.25 ref 12345678901'
+               ELSE '' END AS text
+FROM documents
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_NUM = r"\b\d{9,}\b"
+
+SQL_MASK_PII = f"""
+WITH src AS ({_SQL_PII_SRC}),
+s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+              regexp_replace(text, '{_PII_EMAIL}', '<email>', 'g') AS t
+       FROM src),
+s2 AS (SELECT doc_id, n_email,
+              CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ip,
+              regexp_replace(t, '{_PII_IP}', '<ip>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ip,
+              CAST(len(regexp_extract_all(t, '{_PII_NUM}')) AS BIGINT) AS n_number,
+              regexp_replace(t, '{_PII_NUM}', '<number>', 'g') AS masked_text
+       FROM s2)
+SELECT doc_id, masked_text, n_email, n_ip, n_number,
+       CAST(n_email + n_ip + n_number AS BIGINT) AS n_pii
+FROM s3
+"""
+
+
+UNIGRAM_VOCAB = 500
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-LM quality score (functions/text.py unigram_logprob_score):
+    per-doc mean unigram log probability under the corpus's own top-500
+    vocabulary, OOV floored at ln(1/total) — the CCNet-style perplexity
+    filter's unigram core. Vocab cutoff tie-breaks on (count desc, token)
+    so both engines pick the identical vocabulary."""
+    return X.unigram_logprob_score(
+        _t(spark, sf_dir, "documents"), vocab_size=UNIGRAM_VOCAB
+    )
+
+
+SQL_UNIGRAM = f"""
+WITH docs AS (SELECT doc_id, {_TOKS('text')} AS tk FROM documents),
+toks AS (SELECT doc_id, t FROM (SELECT doc_id, unnest(tk) AS t FROM docs)
+         WHERE t <> ''),
+counts AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
+vocab AS (SELECT t, ROUND(ln(c / (SELECT n FROM total)), 6) AS lp
+          FROM counts ORDER BY c DESC, t LIMIT {UNIGRAM_VOCAB})
+SELECT k.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.lp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(avg(coalesce(v.lp,
+                          (SELECT ROUND(ln(1.0 / n), 6) FROM total))), 4)
+         AS avg_logprob
+FROM toks k LEFT JOIN vocab v ON k.t = v.t
+GROUP BY k.doc_id
+"""
+
+
 def q_image_dedup_groups(spark, sf_dir):
     """Content-level image dedup (functions/multimodal.py
     image_dedup_groups): dHash per payload (one Arrow pass) -> complete
@@ -1951,6 +2053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "image_dedup_groups": q_image_dedup_groups,
         "audio_dedup_groups": q_audio_dedup_groups,
+        "mask_pii": q_mask_pii,
+        "unigram_logprob": q_unigram_logprob,
         "engine_replay": q_engine_replay,
         "corpus_view_replay": q_corpus_view_replay,
     }
@@ -2014,6 +2118,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": SQL_MULTIMODAL,
         "image_dedup_groups": SQL_IMAGE_DEDUP_GROUPS,
         "audio_dedup_groups": SQL_AUDIO_DEDUP_GROUPS,
+        "mask_pii": SQL_MASK_PII,
+        "unigram_logprob": SQL_UNIGRAM,
         # round 2: the full engine path is oracle-checked too — final MOR
         # state after merge+compaction+tombstones IS SQL-expressible
         "engine_replay": SQL_ENGINE_REPLAY,

@@ -249,6 +249,8 @@ SF1_HEADLINE = [
     "curate_corpus",
     # fold -> render -> LSH dedup over rendered conversations
     "conversation_dedup",
+    # r6 late additions: PII scrub (pure codegen scan) + corpus-LM score
+    "mask_pii", "unigram_logprob",
 ]
 # the expression-join exact pair baseline costs ~2 min at sf1 (which is
 # the point — neardup_cosine_blas is the same pairs at ~1 s); one pass

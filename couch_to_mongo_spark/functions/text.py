@@ -723,6 +723,42 @@ def blocklist_filter(
     )
 
 
+#: PII patterns chosen for cross-engine regex parity (Java regex AND
+#: RE2/DuckDB evaluate these identically): kept deliberately simple —
+#: email, dotted-quad IP, long digit runs (phone/account/SSN-ish).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<email>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<ip>"),
+    ("number", r"\b\d{9,}\b", "<number>"),
+)
+
+
+def mask_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing — the redaction pass every public-corpus pipeline
+    runs before training (C4 and friends): replace emails, dotted-quad
+    IPs, and long digit runs with typed sentinels, and report per-class
+    hit counts. Pure per-row ``regexp_replace``/``regexp_count`` chain:
+    codegen, shuffle-free, one scan at 10^10 docs; patterns restricted to
+    syntax Java regex and RE2 (the DuckDB oracle) evaluate identically.
+    Masking is class-ordered (emails first, so their digits/dots aren't
+    re-matched by the later classes).
+
+    Output: (id, masked_text, n_email, n_ip, n_number, n_pii)."""
+    out = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(out, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, repl)
+    d = df.select(F.col(id_col), out.alias("masked_text"), *counts)
+    total = sum((F.col(f"n_{n}") for n, _, _ in PII_PATTERNS[1:]),
+                F.col(f"n_{PII_PATTERNS[0][0]}"))
+    return d.withColumn("n_pii", total.cast("long"))
+
+
 def mask_contaminated(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -1010,6 +1046,64 @@ LANG_MARKERS = {
     "fr": ("le", "et", "les"),
     "es": ("el", "y", "los"),
 }
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-LM quality scoring — the CCNet-style perplexity filter
+    reduced to its unigram core: score every document by the mean log
+    probability of its tokens under the corpus's own top-``vocab_size``
+    unigram distribution (out-of-vocabulary tokens get the floor
+    ``ln(1/total)``). Low scores flag boilerplate-free but *unnatural*
+    text (lorem-ipsum, codes, mojibake) that length/punctuation heuristics
+    miss; very high scores flag stopword soup.
+
+    Plan: ONE explode+groupBy builds the vocab (map-side combined), the
+    top-V cutoff is a TakeOrdered (deterministic tie-break on token), and
+    scoring is explode -> broadcast-hash join against the V-row vocab ->
+    per-doc avg — the corpus never shuffles, only its (doc, token) hits
+    against a broadcast table, exactly the decontamination shape. Token
+    logprobs round to ``round_to`` before the avg (cross-engine libm ulp
+    absorption) and the avg rounds to 4.
+
+    Output: (id, n_tokens, n_oov, avg_logprob)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    toks = toks.where(F.col("_t") != "")
+    # materialized once: the grouped counts feed BOTH the corpus total and
+    # the top-V cutoff (two consumers re-derive the explode+groupBy
+    # otherwise — the exchange-reuse rule); size is O(distinct tokens),
+    # the vocab-build side, never the corpus
+    counts = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    counts = counts.localCheckpoint(eager=True)
+    total = int(counts.agg(F.sum("_c")).first()[0] or 0)
+    vocab = (
+        counts.orderBy(F.col("_c").desc(), F.col("_t")).limit(int(vocab_size))
+        .select(
+            "_t",
+            F.round(F.log(F.col("_c") / F.lit(float(total))), round_to).alias("_lp"),
+        )
+    )
+    import math
+
+    floor_lp = round(math.log(1.0 / total), round_to) if total else 0.0
+    scored = toks.join(F.broadcast(vocab), "_t", "left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_lp").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.avg(F.coalesce(F.col("_lp"), F.lit(floor_lp))), 4
+            ).alias("avg_logprob"),
+        )
+    )
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -584,3 +584,44 @@ def test_mask_contaminated_semantics(spark):
         assert r["masked_text"].split().count("<extra_id_0>") == r["n_masked"]
         if r["n_masked"] == 0:
             assert r["masked_text"] == r["_norm"]
+
+
+def test_mask_pii_semantics(spark):
+    """Typed sentinels, per-class counts, class-ordered masking (email
+    digits must not double-count as numbers), clean text untouched."""
+    from couch_to_mongo_spark.functions.text import mask_pii
+
+    rows = [
+        (1, "write to alice.smith+x@mail.example.org or 10.1.2.3 ref 123456789 ok"),
+        (2, "no pii here just words and the number 1234 stays"),
+        (3, "two mails a@b.io c@d.co and 99.99.99.99"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in mask_pii(df).collect()}
+    assert out[1]["masked_text"] == "write to <email> or <ip> ref <number> ok"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_number"], out[1]["n_pii"]) == (1, 1, 1, 3)
+    assert out[2]["masked_text"] == rows[1][1] and out[2]["n_pii"] == 0
+    assert out[3]["n_email"] == 2 and out[3]["n_ip"] == 1 and out[3]["n_number"] == 0
+
+
+def test_unigram_logprob_score(spark):
+    """Hand-checked toy corpus: vocab cutoff keeps the top-V by (count,
+    token), OOV tokens hit the ln(1/total) floor, per-doc averages agree
+    with the closed-form values."""
+    import math
+
+    from couch_to_mongo_spark.functions.text import unigram_logprob_score
+
+    # corpus: 'aa' x4, 'bb' x3, 'cc' x1  -> total 8
+    rows = [(1, "aa aa bb"), (2, "aa bb cc"), (3, "aa bb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in unigram_logprob_score(df, vocab_size=2).collect()}
+    lp_a = round(math.log(4 / 8), 6)
+    lp_b = round(math.log(3 / 8), 6)
+    floor = round(math.log(1 / 8), 6)  # 'cc' is beyond the top-2 vocab
+    assert out[1]["n_oov"] == 0
+    assert out[1]["avg_logprob"] == round((2 * lp_a + lp_b) / 3, 4)
+    assert out[2]["n_oov"] == 1
+    assert out[2]["avg_logprob"] == round((lp_a + lp_b + floor) / 3, 4)
+    assert out[3]["n_tokens"] == 2 and out[3]["n_oov"] == 0
