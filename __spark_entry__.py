@@ -1338,7 +1338,16 @@ FROM comp ORDER BY cos_sim DESC, vec_id LIMIT 10
 
 
 def q_neardup_cosine(spark, sf_dir):
-    return V.neardup_pairs_by_label(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    """Exact label-blocked cosine pairs — r7: routed through the BLAS
+    gram-matrix kernel (identical pairs + rounding, parity-locked by
+    tests/test_embedding_dedup_lsh.py::test_blas_pairs_match_expression_pairs).
+    The Column-expression join form scores each of the O(pairs) joined rows
+    with an interpreted HOF dot (~6 us/pair — 114 s for the 20M in-label
+    pairs at the driver's sf1.0); the kernel ships each label block ONCE
+    over Arrow and runs the all-pairs dot as one numpy ``V @ V.T``."""
+    return V.neardup_pairs_by_label_blas(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
 
 
 SQL_NEARDUP = """
@@ -1367,7 +1376,10 @@ def q_embedding_dedup_groups(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = V.neardup_pairs_by_label(emb, threshold=0.3)
+    # r7: pair stage routed through the BLAS gram kernel (same pairs,
+    # parity-locked) — the expression join cost 306 s at the driver's
+    # sf1.0 vs ~2 s for the kernel; the closure is unchanged
+    pairs = V.neardup_pairs_by_label_blas(emb, threshold=0.3)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return attach_components(emb, comp, id_col="vec_id", out_col="group_id")
 

@@ -293,6 +293,83 @@ def lsh_band_buckets(
     return stacked
 
 
+def _pair_count_kernel(threshold: float):
+    """Arrow kernel for the uncapped exact-jaccard pair aggregation: input
+    is the (id_a, id_b, s=n_a+n_b) join stream REPARTITIONED BY PAIR, so
+    one task holds every co-occurrence row of its pairs; numpy sorts the
+    packed pair key and run-length-counts it — ~10x the JVM hash
+    aggregate, whose partial maps achieve no reduction on this workload
+    (127M join rows -> 114M distinct pairs at the driver's sf1.0: every
+    map fills and spills for a 1.1x dedup).
+
+    The kernel filter keeps raw jaccard >= threshold - 1e-6 — a SUPERSET
+    of the answer (6dp rounding moves a value by <= 5e-7): numpy rounds
+    half-even while Spark/DuckDB round HALF_UP, so the exact
+    ``F.round``-then-compare happens JVM-side on the surviving handful.
+
+    Ids that fit in 31 bits take the packed single-int64 sort; anything
+    else (negative/huge ids) falls back to a lexsort on both columns —
+    same result, ~2x slower."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        ia_l, ib_l, s_l = [], [], []
+        for bt in batches:
+            ia_l.append(bt["id_a"].to_numpy(np.int64))
+            ib_l.append(bt["id_b"].to_numpy(np.int64))
+            s_l.append(bt["s"].to_numpy(np.int64))
+        if not ia_l:
+            return
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+        s = np.concatenate(s_l)
+        if len(ia) == 0:
+            return
+        if ia.min() >= 0 and ib.max() < (1 << 31):
+            # id_a < id_b by construction, so ia bounds follow from ib's
+            p = (ia << 31) | ib
+            order = np.argsort(p, kind="stable")
+            p, s = p[order], s[order]
+            new = np.empty(len(p), dtype=bool)
+            new[0] = True
+            new[1:] = p[1:] != p[:-1]
+            idx = np.flatnonzero(new)
+            c = np.diff(np.append(idx, len(p)))
+            gp, gs = p[idx], s[idx]
+            jr = c / (gs - c)
+            m = jr >= threshold - 1e-6
+            yield pd.DataFrame(
+                {
+                    "id_a": gp[m] >> 31,
+                    "id_b": gp[m] & ((1 << 31) - 1),
+                    "n_common": c[m],
+                    "s": gs[m],
+                }
+            )
+            return
+        order = np.lexsort((ib, ia))
+        ia, ib, s = ia[order], ib[order], s[order]
+        new = np.empty(len(ia), dtype=bool)
+        new[0] = True
+        new[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        idx = np.flatnonzero(new)
+        c = np.diff(np.append(idx, len(ia)))
+        jr = c / (s[idx] - c)
+        m = jr >= threshold - 1e-6
+        yield pd.DataFrame(
+            {
+                "id_a": ia[idx][m],
+                "id_b": ib[idx][m],
+                "n_common": c[m],
+                "s": s[idx][m],
+            }
+        )
+
+    return kernel
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -373,6 +450,47 @@ def ngram_jaccard_pairs(
                 F.array_distinct(shingles_from_tokens(F.col("_tk"), n))
             ).cast("long").alias("n_sh"),
         )
+        id_t = df.schema[id_col].dataType.simpleString()
+        if id_t in ("bigint", "int", "smallint"):
+            # r7 scale path: the pair aggregation, not the join, was the
+            # wall (175 s at the driver's sf1.0 for 127M join rows ->
+            # 114M distinct pairs — a JVM hash aggregate with a 1.1x
+            # dedup ratio spills its partial maps for nothing). Carry
+            # s = n_a + n_b THROUGH the join (sizes broadcast onto the
+            # postings, O(docs) rows), repartition by pair, and
+            # run-length count in the numpy kernel; the exact
+            # round-half-up jaccard filter stays JVM-side. Measured
+            # 302 s -> 30 s on the same data, byte-identical output
+            # (scripts/probe_jaccard_variants.py PARITY OK). No broadcast
+            # hint on sizes: it is O(corpus) rows, so the planner/AQE
+            # must stay free to shuffle both sides at 10^10 docs (here it
+            # auto-broadcasts the few-MB side).
+            pa = sh.join(sizes, id_col)
+            a = pa.select(
+                F.col(id_col).alias("id_a"), "sh", F.col("n_sh").alias("na")
+            )
+            b = pa.select(
+                F.col(id_col).alias("id_b"), "sh", F.col("n_sh").alias("nb")
+            )
+            j = (
+                a.join(b, "sh")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", (F.col("na") + F.col("nb")).alias("s"))
+            )
+            g = j.repartition("id_a", "id_b").mapInPandas(
+                _pair_count_kernel(threshold),
+                f"id_a {id_t}, id_b {id_t}, n_common long, s long",
+            )
+            return (
+                g.withColumn(
+                    "jaccard",
+                    F.round(
+                        F.col("n_common") / (F.col("s") - F.col("n_common")), 6
+                    ),
+                )
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "n_common", "jaccard")
+            )
         a = sh.alias("a")
         b = sh.alias("b")
         inter = (

@@ -149,10 +149,24 @@ def neardup_pairs_by_label_blas(
     ``round_to`` rounding (equality is test-asserted against the join form
     on the driver fixtures). Block size must stay bounded (n_block^2
     doubles per task — 2k rows = 32 MB); at 100 TB the block key is an LSH
-    bucket with a size cap, same as the relational path."""
+    bucket with a size cap, same as the relational path.
+
+    Output schema matches the join form exactly: ``lbl``/``id_a``/``id_b``
+    take the INPUT column dtypes (the r7 optimization round routes the
+    declared ``neardup_cosine``/``embedding_dedup_groups`` queries through
+    this kernel, and the driver's oracle check compares schemas — a
+    hardcoded bigint lbl over an int32 label column would fail it). Rows
+    with a NULL label are dropped, exactly as the join form's inner
+    equi-join drops them."""
+    lbl_t = df.schema[label_col].dataType.simpleString()
+    id_t = df.schema[id_col].dataType.simpleString()
     kernel = _make_blas_pair_kernel(threshold, vec_col, id_col, label_col, round_to)
-    return df.groupBy(label_col).applyInPandas(
-        kernel, "lbl bigint, id_a bigint, id_b bigint, cos_sim double"
+    return (
+        df.where(F.col(label_col).isNotNull())
+        .groupBy(label_col)
+        .applyInPandas(
+            kernel, f"lbl {lbl_t}, id_a {id_t}, id_b {id_t}, cos_sim double"
+        )
     )
 
 
