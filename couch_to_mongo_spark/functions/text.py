@@ -428,6 +428,14 @@ def ngram_jaccard_pairs(
             .where(F.size("_ids0") <= max_doc_freq)
             .select(F.array_sort("_ids0").alias("_ids"))
         )
+        # r7: inv feeds THREE consumers (pair expansion + sizes, and sizes
+        # again as each join side) — the plan re-derived the whole
+        # tokenize+explode+hash+collect_list index per consumer (6 scans,
+        # 12 Generates at sf1.0; exchange reuse does not always fire
+        # across the differently-pruned branches). The capped index is
+        # tiny by construction (every list <= max_doc_freq ids), so
+        # materialize it once; measured 14 s -> ~6 s.
+        inv = inv.localCheckpoint(eager=True)
         inter = (
             inv.select(F.explode(_local_pairs(F.col("_ids"))).alias("_p"))
             .select("_p.id_a", "_p.id_b")
@@ -981,14 +989,26 @@ def ngram_contamination(
     downstream either drops the corpus doc or masks the overlapping span
     (:func:`ngram_contamination_spans` for the positions).
     """
+    # r7: the corpus side probes the broadcast on xxhash64 (codegen-cheap)
+    # instead of md5-hash15 — the md5 chain alone cost ~1.9 s of the 2.6M-
+    # position corpus pass at the driver's sf1.0 (probe: explode+concat
+    # 2.1 s, +md5 4.0 s, +xxhash 2.2 s). hash15 is then computed ONLY on
+    # matched rows and re-checked against the benchmark's hash15, so the
+    # aggregation counts exactly what the oracle counts (distinct shared
+    # hash15 values); the effective match condition is xxh-equal AND
+    # hash15-equal — a 2^-60-probability subset of the oracle's
+    # hash15-equal, the same collision class the md5 join already had.
     c = exploded_shingles(corpus, text_col, id_col, n).select(
-        F.col(id_col), hash15(F.col("_sh")).alias("_h")
+        F.col(id_col), F.xxhash64(F.col("_sh")).alias("_x"), F.col("_sh")
     )
     b = exploded_shingles(benchmark, text_col, id_col, n).select(
-        F.col(id_col).alias(bench_id_col), hash15(F.col("_sh")).alias("_h")
+        F.col(id_col).alias(bench_id_col),
+        F.xxhash64(F.col("_sh")).alias("_x"),
+        hash15(F.col("_sh")).alias("_h"),
     ).distinct()
     return (
-        c.join(F.broadcast(b), "_h")
+        c.join(F.broadcast(b), "_x")
+        .where(hash15(F.col("_sh")) == F.col("_h"))
         .groupBy(id_col, bench_id_col)
         .agg(F.count_distinct(F.col("_h")).cast("long").alias("n_common"))
         .where(F.col("n_common") >= min_common)
@@ -1050,8 +1070,13 @@ def _contamination_spans_from_tokens(
     shared by :func:`ngram_contamination_spans` and
     :func:`mask_contaminated` so the mask path derives the token stream
     once for spans and join-back alike."""
+    # r7: same xxhash64-probe / hash15-on-matches shape as
+    # :func:`ngram_contamination` (see the comment there) — the md5 chain
+    # over every corpus position was ~1.9 s of this pass at sf1.0
     b = exploded_shingles(benchmark, text_col, id_col, n).select(
-        F.col(id_col).alias(bench_id_col), hash15(F.col("_sh")).alias("_h")
+        F.col(id_col).alias(bench_id_col),
+        F.xxhash64(F.col("_sh")).alias("_x"),
+        hash15(F.col("_sh")).alias("_h"),
     ).distinct()
     e = d.select(
         F.col(id_col),
@@ -1063,10 +1088,14 @@ def _contamination_spans_from_tokens(
     c = e.select(
         F.col(id_col),
         F.col("pos").cast("int").alias("pos"),
-        hash15(F.concat_ws(" ", F.slice(F.col("_tk"), F.col("pos"), n))).alias("_h"),
+        F.concat_ws(" ", F.slice(F.col("_tk"), F.col("pos"), n)).alias("_sh"),
+    ).select(
+        F.col(id_col), F.col("pos"), F.xxhash64(F.col("_sh")).alias("_x"),
+        F.col("_sh"),
     )
     agg = (
-        c.join(F.broadcast(b), "_h")
+        c.join(F.broadcast(b), "_x")
+        .where(hash15(F.col("_sh")) == F.col("_h"))
         .groupBy(id_col, bench_id_col)
         .agg(
             F.count_distinct(F.col("_h")).alias("_nc"),
@@ -1307,6 +1336,12 @@ def lsh_verified_pairs(
         .where((F.size("_ids0") >= 2) & (F.size("_ids0") <= max_bucket_size))
         .select(F.array_sort("_ids0").alias("_ids"))
     )
+    # r7 note: two "improvements" were probed here and REJECTED by
+    # measurement — (a) localCheckpoint'ing inv+cand serializes the DAG
+    # (10.5 s -> 12.2 s same-session), (b) pruning the verify-side array
+    # build to candidate docs adds a second inv derivation that costs
+    # more than the pruned transform saves (12.8 s). The single-DAG shape
+    # below overlaps its stages across cores and stays the fastest.
     cand = (
         inv.select(F.explode(_local_pairs(F.col("_ids"))).alias("_p"))
         .select("_p.id_a", "_p.id_b")
@@ -1480,53 +1515,67 @@ def repetition_features(
     - ``top_2gram_frac``: occurrences of the most frequent 2-gram over
       total 2-grams.
 
-    Plan shape (the repo's single-derivation rule): BOTH n-gram streams
-    ride ONE explode of one combined (n, hash15(gram)) struct array — a
-    first cut derived the tokenize+shingle base once per consumer (three
-    branches) and ran 21 s at sf0.1; this shape is ~1-2 s. The shuffle key
-    is (doc, n, gram-hash) — 8-byte grams on the wire, skew-free; per-doc
-    stats for both n fall out of one conditional aggregation. An array-HOF
-    formulation (count occurrences per distinct gram inside one row) would
-    be O(len^2) interpreted per document."""
-    d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
-
-    # Each n-gram stream explodes a PLAIN string array and hashes/tags in a
-    # post-explode codegen projection. Do NOT move the hash (or an n-tag
-    # struct) into a transform lambda feeding the explode: Generate
-    # re-evaluates a non-attribute input per OUTPUT element, so a
-    # 105-gram/doc array with md5 in the lambda costs O(grams^2) md5s per
-    # doc — measured 20 s vs 0.5 s for this exact stage at sf0.1.
-    def gram_stream(n: int):
-        return d.select(
-            F.col(id_col),
-            F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("_s"),
-        ).select(
-            F.col(id_col), F.lit(n).alias("_n"), hash15(F.col("_s")).alias("_g")
-        )
-
-    ex = gram_stream(3).unionByName(gram_stream(2))
-    counts = ex.groupBy(id_col, "_n", "_g").agg(F.count(F.lit(1)).alias("_c"))
-    is3, is2 = F.col("_n") == 3, F.col("_n") == 2
-    stats = counts.groupBy(id_col).agg(
-        F.round(
-            1
-            - F.count(F.when(is3, 1))
-            / F.sum(F.when(is3, F.col("_c"))).cast("double"),
-            6,
-        ).alias("dup_3gram_frac"),
-        F.round(
-            F.max(F.when(is2, F.col("_c")))
-            / F.sum(F.when(is2, F.col("_c"))).cast("double"),
-            6,
-        ).alias("top_2gram_frac"),
+    Plan shape (r7): the line fraction AND the 3-gram fraction are pure
+    per-row array arithmetic — ``1 - size(array_distinct(grams)) /
+    size(grams)`` — so they ride ONE shuffle-free scan projection; only
+    the 2-gram mode count (max occurrences of any single gram) genuinely
+    needs a (doc, gram) aggregation, so only the 2-gram stream explodes.
+    The previous shape exploded BOTH streams and md5-hashed every gram
+    (5M exploded rows + 5M md5s + a union'd two-level aggregation) to
+    compute a distinct-count the array expression already yields —
+    measured 12.1 s -> ~5 s at the driver's sf1.0. Grouping is on the RAW
+    2-gram string (the DuckDB oracle groups raw strings too, so parity is
+    now by construction rather than modulo md5 collisions); ~13-char
+    grams on the wire vs 8-byte hashes is a fine trade for dropping the
+    hash pass. An array-HOF mode count (per distinct gram inside one row)
+    would be O(len^2) interpreted per document."""
+    d = df.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_tk")
+    )
+    # _s3 is referenced twice below (size + distinct-size): keeping it an
+    # alias in its own projection stops CollapseProject from inlining the
+    # transform twice (multi-referenced non-trivial aliases don't collapse)
+    d3 = d.select(
+        F.col(id_col),
+        F.col(text_col),
+        shingles_from_tokens(F.col("_tk"), 3).alias("_s3"),
     )
     lines = F.split(F.col(text_col), "\n")
-    line_frac = df.select(
+    per_row = d3.select(
         F.col(id_col),
         F.round(
             1 - F.size(F.array_distinct(lines)) / F.size(lines).cast("double"), 6
         ).alias("dup_line_frac"),
+        F.round(
+            1
+            - F.size(F.array_distinct(F.col("_s3")))
+            / F.size(F.col("_s3")).cast("double"),
+            6,
+        ).alias("dup_3gram_frac"),
     )
-    return line_frac.join(stats, id_col).select(
+
+    # 2-gram mode: seq-explode shape (explode a cheap int sequence, build
+    # the gram with slice+concat in the post-explode codegen projection).
+    # Exploding the shingle transform directly makes the transform the
+    # Generate input, re-evaluated per OUTPUT element — measured 8.0 s vs
+    # 4.5 s for this branch at the driver's sf1.0.
+    e2 = d.select(
+        F.col(id_col),
+        F.col("_tk"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("_tk") - 1, F.lit(1)))
+        ).alias("_p"),
+    )
+    ex2 = e2.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice(F.col("_tk"), F.col("_p"), 2)).alias("_g"),
+    )
+    counts2 = ex2.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    top2 = counts2.groupBy(id_col).agg(
+        F.round(
+            F.max(F.col("_c")) / F.sum(F.col("_c")).cast("double"), 6
+        ).alias("top_2gram_frac"),
+    )
+    return per_row.join(top2, id_col).select(
         id_col, "dup_line_frac", "dup_3gram_frac", "top_2gram_frac"
     )
