@@ -229,8 +229,11 @@ def image_dhash(
                 hashes.append(_dhash_bits(gray))
             yield pd.DataFrame({id_col: pdf[id_col].values, "dhash": hashes})
 
+    # id dtype derived from the input (ADVICE r6: a hardcoded long fails
+    # Arrow conversion for string media ids, though id_col is a parameter)
+    id_t = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        gen, f"{id_col} long, dhash long"
+        gen, f"{id_col} {id_t}, dhash long"
     )
 
 
@@ -354,8 +357,9 @@ def audio_fingerprint(
                 fps.append(_sign_bits(e))
             yield pd.DataFrame({id_col: pdf[id_col].values, "afp": fps})
 
+    id_t = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        gen, f"{id_col} long, afp long"
+        gen, f"{id_col} {id_t}, afp long"
     )
 
 

@@ -908,9 +908,13 @@ def mask_contaminated(
     the spans are defined); n_masked counts masked token positions.
 
     Output: (id, masked_text, n_masked)."""
-    # ONE token projection feeds both the span extraction and the
-    # join-back render (previously the corpus token stream was derived
-    # twice — the r5 verdict's cost finding)
+    # One LOGICAL token projection feeds both the span extraction and the
+    # join-back render. Physically both branches still tokenize (toks is
+    # an unmaterialized DataFrame and there is no exchange below it to
+    # reuse — ADVICE r6); the real r6 saving was the broadcast join-back.
+    # Materializing toks was probed and rejected: a localCheckpoint here
+    # serializes the DAG for a ~1 s tokenize, the same trade that lost in
+    # lsh_verified_pairs (see its r7 note).
     toks = corpus.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
     spans = _contamination_spans_from_tokens(
         toks, benchmark, n=n, min_common=min_common,
@@ -1155,6 +1159,13 @@ def curate_corpus(
         df, text_col, id_col, extra={"_fp": fingerprint(F.col(text_col))}
     )
     r = repetition_features(df, text_col, id_col)
+    # skew note (ADVICE r6): the window routes every duplicate group to
+    # one partition and WindowExec buffers the whole partition per task —
+    # fine for ordinary duplicate rates, but a pathological fingerprint
+    # with 10^8 copies would serialize on one task; heavy-duplicate
+    # corpora should elect the keeper with a salted two-level min-by-_fp
+    # aggregation instead (the pre-r6 groupBy shape had map-side partials
+    # and no skew exposure, at the cost of an extra scan + join).
     q = base.withColumn(
         "is_exact_keeper",
         F.col(id_col) == F.min(id_col).over(Window.partitionBy("_fp")),

@@ -207,7 +207,33 @@ class RenderedCorpusView:
         catch-ups, recoverable after a crash (unlike a driver counter),
         and never colliding with a per-batch refresh fence as long as
         catch-ups run under their own run_id (CdcPipeline uses
-        ``<run_id>:catchup``)."""
+        ``<run_id>:catchup``).
+
+        Late-row coverage (r7 correctness fix, ADVICE r6 medium): a late
+        out-of-order event whose seq is <= the view's hwm can still win
+        LWW on the primary (e.g. the first row for its key), but the old
+        row-level ``_seq >= hwm+1`` filter dropped it from the changed-
+        conv derivation — and because merges write PER-BUCKET delta
+        files, such a row routinely lands in a file whose every row is
+        late (file seq-max below the bound), so file-level pruning alone
+        misses it too. The changed set is therefore the UNION of two
+        derivations: (a) the seq-bound read with file-level pruning only
+        (``min_seq_rows=False`` — covers rewrite-style commits whose
+        folded files carry fresh seq bounds), and (b) a snapshot-diff
+        ``read_appended`` from the earliest primary version whose seq
+        high-water had reached the view's stamp — every file COMMITTED
+        after the last refresh, regardless of its seq bounds (hwm is
+        monotone in version, so binary search; under-inclusion is
+        impossible because the stamping refresh's own snapshot qualifies,
+        and over-inclusion only re-renders convs idempotently).
+        Remaining assumptions: a catch-up only fires when the primary
+        hwm ADVANCED past the view's (a wholly-late tail that never
+        advances the feed's max seq defers to the next advancing batch —
+        the fence high-water contract already assumes cross-batch
+        progress), and snapshot retention must cover the refresh lag
+        (expire_snapshots pruning the stamping version degrades (b) to
+        the earliest retained version — still correct within the
+        retained window)."""
         primary_hwm = self.primary.seq_high_water()
         if primary_hwm is None:
             return None  # empty primary: nothing to render
@@ -215,15 +241,43 @@ class RenderedCorpusView:
         if view_hwm is not None and primary_hwm <= view_hwm:
             return None  # view already current
         new_rows = self.primary.read(
-            min_seq=(view_hwm + 1) if view_hwm is not None else None
+            min_seq=(view_hwm + 1) if view_hwm is not None else None,
+            min_seq_rows=False,
         )
+        changed = new_rows.select("conv_id")
+        if view_hwm is not None:
+            since = self._earliest_version_at_hwm(view_hwm)
+            if since is not None and since < self.primary.latest_version():
+                changed = changed.unionByName(
+                    self.primary.read_appended(since).select("conv_id")
+                )
         return self.refresh(
-            new_rows.select("conv_id"),
+            changed,
             seq=primary_hwm,
             run_id=run_id,
             batch_id=int(primary_hwm) if batch_id is None else batch_id,
             broadcast_convs=broadcast_convs,
         )
+
+    def _earliest_version_at_hwm(self, hwm: int) -> int | None:
+        """Earliest RETAINED primary version whose seq high-water >= hwm —
+        the snapshot-diff base for catch_up's changed-file derivation.
+        seq_high_water is monotone non-decreasing in version (appends only
+        raise it; rewrites preserve it), so binary search over the
+        retained version list: O(log V) snapshot-metadata loads."""
+        versions = self.primary._existing_versions()
+        if not versions:
+            return None
+        lo, hi, ans = 0, len(versions) - 1, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            h = self.primary.seq_high_water(version=versions[mid])
+            if h is not None and h >= hwm:
+                ans = versions[mid]
+                hi = mid - 1
+            else:
+                lo = mid + 1
+        return ans if ans is not None else versions[0]
 
     def maybe_compact(self, max_files_per_bucket: int = 8) -> dict:
         """Fold view buckets holding more than ``max_files_per_bucket``

@@ -132,6 +132,14 @@ class CdcPipeline:
         self.retention_keep_last = retention_keep_last
         self.retention_every = max(int(retention_every), 1)
         self.expirations = 0
+        # due-ness LATCH, not a modulo check (r7 correctness fix): in
+        # async mode the whole maintenance pass is skipped while the
+        # previous thread is alive, so a stream whose compactions
+        # routinely straddle the retention boundary would starve expiry
+        # forever (unbounded version log — the exact problem retention
+        # exists for). Expiry fires when batches_applied has advanced
+        # retention_every past the last expiry, whenever that is observed.
+        self._last_expired_at = 0
 
         # quarantine_poison: run the text transform through the
         # poison-isolating mapInPandas wrapper (operators/poison.py) — a row
@@ -344,9 +352,10 @@ class CdcPipeline:
         primary's mode."""
         do_primary = self.mode == "mor" and bool(self.compact_threshold)
         do_view = self.view is not None and bool(self.compact_threshold)
+        applied_now = self.batches_applied
         do_expire = bool(
             self.retention_keep_last
-            and self.batches_applied % self.retention_every == 0
+            and applied_now - self._last_expired_at >= self.retention_every
         )
         if not (do_primary or do_view or do_expire):
             return
@@ -366,6 +375,10 @@ class CdcPipeline:
                         keep_last=self.retention_keep_last
                     )
                 self.expirations += 1
+                # latch at the batch count CAPTURED when this pass was
+                # scheduled — batches applied while expiry ran still count
+                # toward the next due window
+                self._last_expired_at = applied_now
 
         if not self.compact_async:
             work()

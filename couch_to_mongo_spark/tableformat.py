@@ -431,13 +431,22 @@ class LakeTable:
         with_bucket: bool = False,
         min_seq: int | None = None,
         as_of: float | None = None,
+        min_seq_rows: bool = True,
     ) -> DataFrame:
         """Read a snapshot. ``min_seq`` prunes data files whose snapshot-level
         ``_seq`` max is below it BEFORE Spark plans the scan — metadata-only
         file skipping on the engine's universal filter column (Iceberg's
         per-file column bounds). At 10^10 events an incremental consumer
         reads O(new files), not O(table). ``as_of`` (epoch seconds)
-        resolves the version by commit timestamp instead."""
+        resolves the version by commit timestamp instead.
+
+        ``min_seq_rows=False`` keeps the file-level pruning but skips the
+        row-level ``_seq >= min_seq`` filter: every row CO-LOCATED in a
+        retained file is returned, including late out-of-order rows whose
+        own seq is below the bound. Incremental consumers that derive a
+        re-process set (e.g. the corpus view's catch-up) need this — a
+        late row can still win LWW on the primary, so dropping it from
+        the changed-set derivation would leave derived state stale."""
         if as_of is not None:
             if version is not None:
                 raise ValueError("pass version or as_of, not both")
@@ -455,7 +464,7 @@ class LakeTable:
             # the Spark-native analogue of the reference tolerating docs
             # with/without Header/Analytics (SURVEY.md §1.2).
             df = self.spark.read.schema(snap.schema).parquet(*files)
-        if min_seq is not None and "_seq" in df.columns:
+        if min_seq is not None and min_seq_rows and "_seq" in df.columns:
             df = df.where(F.col("_seq") >= F.lit(min_seq))
         if with_bucket:
             key = snap.lineage.get("bucket_key") or self.bucket_key()

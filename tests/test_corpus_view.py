@@ -299,3 +299,39 @@ def test_view_compaction_bounds_delta_files(spark, tmp_path):
     per_bucket = {b: len(fl) for b, fl in snap.files.items()}
     assert max(per_bucket.values()) <= 4  # threshold + in-flight delta
     assert _view_state(view) == _full_rebuild(primary)
+
+
+def test_deferred_catch_up_covers_late_out_of_order_rows(spark, tmp_path):
+    """r7 correctness fix (ADVICE r6 medium): a late event whose seq is <=
+    the view's high-water mark can still win LWW on the primary (here:
+    the FIRST row of a brand-new conversation). The catch-up changed-conv
+    derivation must use FILE-level seq pruning only — the old row-level
+    `_seq >= hwm+1` filter dropped the late row, so its conversation
+    never entered the view (stale forever under view_refresh_every>1)."""
+    primary = LakeTable.create(
+        spark, str(tmp_path / "primary"), with_engine_schema(PAYLOAD), n_buckets=4
+    )
+    view = RenderedCorpusView(spark, primary, str(tmp_path / "view"), n_buckets=2)
+
+    merge_batch(
+        primary,
+        _batch(spark, [("a", 0, "a0", "u"), ("b", 0, "b0", "u")], 0),
+        run_id="r",
+        batch_id=0,
+    )
+    assert view.catch_up(run_id="cu") is not None
+    hwm = view.view.seq_high_water()
+
+    # batch 1: a LATE first-row for new conv z (seq 1 <= view hwm) rides
+    # in the same file as an in-order row that advances the primary hwm
+    late = spark.createDataFrame(
+        [("z", 0, "z0", "u", 1), ("a", 1, "a1", "u", hwm + 1)],
+        "conv_id string, turn_idx int, text string, op string, seq long",
+    )
+    merge_batch(primary, late, run_id="r", batch_id=1)
+
+    res = view.catch_up(run_id="cu")
+    assert res is not None and not res.skipped
+    final = _view_state(view)
+    assert "z" in final, "late out-of-order conv must reach the view"
+    assert final == _full_rebuild(primary)
