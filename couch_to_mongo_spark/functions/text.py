@@ -483,7 +483,12 @@ def ngram_jaccard_pairs(
             j = (
                 a.join(b, "sh")
                 .where(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b", (F.col("na") + F.col("nb")).alias("s"))
+                # int, not long: s = n_a + n_b is bounded by 2x the max
+                # per-doc distinct-shingle count — shaves 4-8 bytes/row
+                # off the 127M-row pair exchange and the Arrow crossing
+                .select(
+                    "id_a", "id_b", (F.col("na") + F.col("nb")).cast("int").alias("s")
+                )
             )
             g = j.repartition("id_a", "id_b").mapInPandas(
                 _pair_count_kernel(threshold),
